@@ -1,0 +1,56 @@
+"""Test environment.
+
+Note: in this image an `axon` PJRT plugin pins every Python process to
+the TPU at interpreter startup (sitecustomize on PYTHONPATH) and
+ignores JAX_PLATFORMS — so single-device tests run on whatever platform
+the session provides, and multi-device sharding tests spawn a
+subprocess with a scrubbed environment (see `cpu_mesh_env`)."""
+
+import os
+import subprocess
+import importlib.util
+import sys
+import pathlib
+
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+REFERENCE = pathlib.Path("/root/reference")
+
+
+def load_reference_module(relpath: str, name: str):
+    """Import a module from the read-only reference repo to use as a
+    numerical oracle in parity tests (we never copy its code)."""
+    path = REFERENCE / relpath
+    if not path.exists():
+        pytest.skip(f"reference oracle {relpath} not available")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def run_in_cpu_mesh(script: str, n_devices: int = 8, timeout: int = 600):
+    """Run a Python snippet in a subprocess with an n-device virtual CPU
+    mesh (JAX_PLATFORMS=cpu; axon sitecustomize disabled)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    proc = subprocess.run(
+        ["python", "-c", script], env=env, capture_output=True, text=True, timeout=timeout
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    return proc.stdout
+
+
+@pytest.fixture(scope="session")
+def ref_merge():
+    return load_reference_module("tome/merge.py", "ref_tome_merge")
+
+
+@pytest.fixture(scope="session")
+def ref_utils():
+    return load_reference_module("tome/utils.py", "ref_tome_utils")

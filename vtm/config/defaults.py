@@ -1,0 +1,276 @@
+"""Default config tree.
+
+Key names mirror the reference config system
+(slowfast/config/defaults.py + custom_config.py) so reference yaml
+configs and ``--opts`` overrides work unchanged; only the subset of
+keys exercised by the ToMe benchmark path is kept (legacy PySlowFast
+sections — MVIT, SLOWFAST, RESNET, AVA, DETECTION, MULTIGRID,
+CONTRASTIVE, … — are intentionally absent; yaml files mentioning them
+are accepted via ``merge_from_file(..., allow_new=True)`` and ignored).
+
+TPU-specific additions live under ``TPU.*``.
+"""
+
+from __future__ import annotations
+
+from vtm.config.node import CfgNode
+
+
+def get_cfg() -> CfgNode:
+    _C = CfgNode()
+
+    # ---------------------------------------------------------------- TRAIN
+    _C.TRAIN = CfgNode()
+    _C.TRAIN.ENABLE = True
+    _C.TRAIN.DATASET = "kinetics"
+    _C.TRAIN.BATCH_SIZE = 64
+    _C.TRAIN.EVAL_PERIOD = 10
+    _C.TRAIN.CHECKPOINT_PERIOD = 10
+    _C.TRAIN.AUTO_RESUME = True
+    _C.TRAIN.CHECKPOINT_FILE_PATH = ""
+    _C.TRAIN.CHECKPOINT_TYPE = "pytorch"
+    _C.TRAIN.CHECKPOINT_EPOCH_RESET = False
+    _C.TRAIN.MIXED_PRECISION = False
+    _C.TRAIN.KILL_LOSS_EXPLOSION_FACTOR = 0.0
+
+    # ----------------------------------------------------------------- TEST
+    _C.TEST = CfgNode()
+    _C.TEST.ENABLE = True
+    _C.TEST.DATASET = "kinetics"
+    _C.TEST.BATCH_SIZE = 8
+    _C.TEST.CHECKPOINT_FILE_PATH = ""
+    _C.TEST.NUM_ENSEMBLE_VIEWS = 10
+    _C.TEST.NUM_SPATIAL_CROPS = 3
+    _C.TEST.CHECKPOINT_TYPE = "pytorch"
+    _C.TEST.SAVE_RESULTS_PATH = ""
+    _C.TEST.NUM_TEMPORAL_CLIPS = []
+    _C.TEST.CLIP_LENGTH_HISTOGRAM = False
+
+    # ----------------------------------------------------------------- DATA
+    _C.DATA = CfgNode()
+    _C.DATA.PATH_TO_DATA_DIR = ""
+    _C.DATA.PATH_LABEL_SEPARATOR = " "
+    _C.DATA.PATH_PREFIX = ""
+    _C.DATA.NUM_FRAMES = 8
+    _C.DATA.SAMPLING_RATE = 8
+    _C.DATA.MEAN = [0.45, 0.45, 0.45]
+    _C.DATA.STD = [0.225, 0.225, 0.225]
+    _C.DATA.INPUT_CHANNEL_NUM = [3]
+    _C.DATA.TRAIN_JITTER_SCALES = [256, 320]
+    _C.DATA.TRAIN_CROP_SIZE = 224
+    _C.DATA.TEST_CROP_SIZE = 256
+    _C.DATA.TARGET_FPS = 30
+    _C.DATA.DECODING_BACKEND = "cv2"  # reference: pyav; TPU build decodes via OpenCV
+    _C.DATA.DECODING_SHORT_SIZE = 256
+    _C.DATA.INV_UNIFORM_SAMPLE = False
+    _C.DATA.RANDOM_FLIP = True
+    _C.DATA.MULTI_LABEL = False
+    _C.DATA.ENSEMBLE_METHOD = "sum"
+    _C.DATA.REVERSE_INPUT_CHANNEL = False
+    _C.DATA.USE_OFFSET_SAMPLING = False
+    _C.DATA.DUMMY_LOAD = False
+    _C.DATA.TRAIN_JITTER_FPS = 0.0
+
+    # --------------------------------------------------------------- SOLVER
+    _C.SOLVER = CfgNode()
+    _C.SOLVER.BASE_LR = 0.1
+    _C.SOLVER.LR_POLICY = "cosine"
+    _C.SOLVER.COSINE_END_LR = 0.0
+    _C.SOLVER.COSINE_AFTER_WARMUP = False
+    _C.SOLVER.GAMMA = 0.1
+    _C.SOLVER.STEP_SIZE = 1
+    _C.SOLVER.STEPS = []
+    _C.SOLVER.LRS = []
+    _C.SOLVER.MAX_EPOCH = 300
+    _C.SOLVER.MOMENTUM = 0.9
+    _C.SOLVER.DAMPENING = 0.0
+    _C.SOLVER.NESTEROV = True
+    _C.SOLVER.WEIGHT_DECAY = 1e-4
+    _C.SOLVER.WARMUP_FACTOR = 0.1
+    _C.SOLVER.WARMUP_EPOCHS = 0.0
+    _C.SOLVER.WARMUP_START_LR = 0.01
+    _C.SOLVER.OPTIMIZING_METHOD = "sgd"
+    _C.SOLVER.BASE_LR_SCALE_NUM_SHARDS = False
+    _C.SOLVER.CLIP_GRAD_VAL = None
+    _C.SOLVER.CLIP_GRAD_L2NORM = None
+    _C.SOLVER.LAYER_DECAY = 1.0
+    _C.SOLVER.BETAS = (0.9, 0.999)
+    _C.SOLVER.ACCUMULATE_STEPS = 1
+
+    # ---------------------------------------------------------------- MODEL
+    _C.MODEL = CfgNode()
+    _C.MODEL.MODEL_NAME = "VideoMAE"
+    _C.MODEL.ARCH = "videomae"
+    _C.MODEL.NUM_CLASSES = 400
+    _C.MODEL.LOSS_FUNC = "cross_entropy"
+    _C.MODEL.DROPOUT_RATE = 0.5
+    _C.MODEL.HEAD_ACT = "softmax"
+
+    # ----------------------------------------------------------- TIMESFORMER
+    _C.TIMESFORMER = CfgNode()
+    _C.TIMESFORMER.ATTENTION_TYPE = "divided_space_time"
+    _C.TIMESFORMER.PRETRAINED_MODEL = ""
+
+    # ----------------------------------------------------------- MOTIONFORMER
+    _C.MOTIONFORMER = CfgNode()
+    _C.MOTIONFORMER.PATCH_SIZE = 16
+    _C.MOTIONFORMER.PATCH_SIZE_TEMP = 2
+    _C.MOTIONFORMER.CHANNELS = 3
+    _C.MOTIONFORMER.EMBED_DIM = 768
+    _C.MOTIONFORMER.DEPTH = 12
+    _C.MOTIONFORMER.NUM_HEADS = 12
+    _C.MOTIONFORMER.MLP_RATIO = 4
+    _C.MOTIONFORMER.QKV_BIAS = True
+    _C.MOTIONFORMER.VIDEO_INPUT = True
+    _C.MOTIONFORMER.TEMPORAL_RESOLUTION = 8
+    _C.MOTIONFORMER.USE_MLP = False
+    _C.MOTIONFORMER.DROP = 0.0
+    _C.MOTIONFORMER.DROP_PATH = 0.0
+    _C.MOTIONFORMER.HEAD_DROPOUT = 0.0
+    _C.MOTIONFORMER.POS_DROPOUT = 0.0
+    _C.MOTIONFORMER.ATTN_DROPOUT = 0.0
+    _C.MOTIONFORMER.HEAD_ACT = "tanh"
+    _C.MOTIONFORMER.IM_PRETRAINED = True
+    _C.MOTIONFORMER.PRETRAINED_WEIGHTS = "MOTIONFORMER_1k"
+    _C.MOTIONFORMER.POS_EMBED = "separate"
+    _C.MOTIONFORMER.ATTN_LAYER = "trajectory"
+    _C.MOTIONFORMER.USE_ORIGINAL_TRAJ_ATTN_CODE = True
+    _C.MOTIONFORMER.APPROX_ATTN_TYPE = "none"
+    _C.MOTIONFORMER.APPROX_ATTN_DIM = 128
+
+    # ------------------------------------------------------------------ VIVIT
+    _C.VIVIT = CfgNode()
+    _C.VIVIT.CONFIG_PATH = ""
+
+    # --------------------------------------------------------------- VIDEOMAE
+    _C.VIDEOMAE = CfgNode()
+    _C.VIDEOMAE.MODEL = "vit_small_patch16_224"
+    _C.VIDEOMAE.TUBELET_SIZE = 2
+    _C.VIDEOMAE.FC_DROP_RATE = 0.0
+    _C.VIDEOMAE.DROP_RATE = 0.0
+    _C.VIDEOMAE.DROP_PATH_RATE = 0.1
+    _C.VIDEOMAE.ATTN_DROP_RATE = 0.0
+    _C.VIDEOMAE.USE_MEAN_POOLING = True
+    _C.VIDEOMAE.INIT_SCALE = 0.001
+
+    # ------------------------------------------------------------------ WANDB
+    _C.WANDB = CfgNode()
+    _C.WANDB.ENABLE = False
+    _C.WANDB.PROJECT = ""
+
+    # ------------------------------------------------------------------- TOME
+    _C.TOME = CfgNode()
+    _C.TOME.ENABLE = False
+    _C.TOME.R_VALUE = 0
+    _C.TOME.SCHEDULE = 0
+    _C.TOME.PROP_ATTN = True
+    _C.TOME.HEAD_AGGREGATION = "mean"
+    _C.TOME.MODE = "merge"
+    _C.TOME.THRESHOLD = -1.0
+    _C.TOME.LAYER_TO_DUPLICATE = 0
+    _C.TOME.LAYER_QUANTITY = 1
+    _C.TOME.TRACE_SOURCE = False  # TPU addition: expose source tracking via cfg
+
+    # ------------------------------------------------------------ EPICKITCHENS
+    _C.EPICKITCHENS = CfgNode()
+    _C.EPICKITCHENS.VISUAL_DATA_DIR = ""
+    _C.EPICKITCHENS.ANNOTATIONS_DIR = ""
+    _C.EPICKITCHENS.TRAIN_LIST = "EPIC_100_train.pkl"
+    _C.EPICKITCHENS.VAL_LIST = "EPIC_100_validation.pkl"
+    _C.EPICKITCHENS.TEST_LIST = "EPIC_100_validation.pkl"
+    _C.EPICKITCHENS.TEST_SPLIT = "validation"
+    _C.EPICKITCHENS.TRAIN_PLUS_VAL = False
+    _C.EPICKITCHENS.NUM_CLASSES = None
+    _C.EPICKITCHENS.PARTICIPANT_FIRST = True
+
+    # ------------------------------------------------------------ DATASET_UTILS
+    _C.DATASET_UTILS = CfgNode()
+    _C.DATASET_UTILS.CREATE_MINI_DATASETS = False
+    _C.DATASET_UTILS.CACHE_MODEL_PROBS = False
+    _C.DATASET_UTILS.CACHE_KL_DIVERGENCES = False
+    _C.DATASET_UTILS.SAVE_LENGTHS = False
+    _C.DATASET_UTILS.DISTRIBUTION_PATH = ""
+
+    # ----------------------------------------------------------- MODEL_BENCHMARK
+    _C.MODEL_BENCHMARK = CfgNode()
+    _C.MODEL_BENCHMARK.WARMUP_ITERATIONS = 0
+    _C.MODEL_BENCHMARK.ITERATIONS = 0
+
+    # -------------------------------------------------------------- BENCHMARK
+    _C.BENCHMARK = CfgNode()
+    _C.BENCHMARK.NUM_EPOCHS = 5
+    _C.BENCHMARK.LOG_PERIOD = 100
+    _C.BENCHMARK.SHUFFLE = True
+
+    # ------------------------------------------------------------- DATA_LOADER
+    _C.DATA_LOADER = CfgNode()
+    _C.DATA_LOADER.NUM_WORKERS = 8
+    _C.DATA_LOADER.PIN_MEMORY = True
+    _C.DATA_LOADER.ENABLE_MULTI_THREAD_DECODE = False
+
+    # -------------------------------------------------------------- TENSORBOARD
+    _C.TENSORBOARD = CfgNode()
+    _C.TENSORBOARD.ENABLE = False
+    _C.TENSORBOARD.LOG_DIR = ""
+    _C.TENSORBOARD.CLASS_NAMES_PATH = ""
+    _C.TENSORBOARD.CONFUSION_MATRIX = CfgNode()
+    _C.TENSORBOARD.CONFUSION_MATRIX.ENABLE = False
+    _C.TENSORBOARD.CONFUSION_MATRIX.FIGSIZE = [8, 8]
+    _C.TENSORBOARD.CONFUSION_MATRIX.SUBSET_PATH = ""
+
+    # -------------------------------------------------------------------- AUG
+    _C.AUG = CfgNode()
+    _C.AUG.ENABLE = False
+    _C.AUG.NUM_SAMPLE = 1
+    _C.AUG.COLOR_JITTER = 0.4
+    _C.AUG.AA_TYPE = "rand-m9-mstd0.5-inc1"
+    _C.AUG.INTERPOLATION = "bicubic"
+    _C.AUG.RE_PROB = 0.25
+    _C.AUG.RE_MODE = "pixel"
+    _C.AUG.RE_COUNT = 1
+    _C.AUG.RE_SPLIT = False
+
+    # ------------------------------------------------------------------ MIXUP
+    _C.MIXUP = CfgNode()
+    _C.MIXUP.ENABLE = False
+    _C.MIXUP.ALPHA = 0.8
+    _C.MIXUP.CUTMIX_ALPHA = 1.0
+    _C.MIXUP.PROB = 1.0
+    _C.MIXUP.SWITCH_PROB = 0.5
+    _C.MIXUP.LABEL_SMOOTH_VALUE = 0.1
+
+    # -------------------------------------------------------------- top level
+    _C.TASK = ""
+    _C.NUM_GPUS = 1  # reference name; interpreted as "number of devices"
+    _C.NUM_SHARDS = 1
+    _C.SHARD_ID = 0
+    _C.OUTPUT_DIR = "."
+    _C.RNG_SEED = 1
+    _C.LOG_PERIOD = 10
+    _C.LOG_MODEL_INFO = False
+    _C.DIST_BACKEND = "ici"  # reference default: nccl; TPU: ICI mesh
+
+    # ---------------------------------------------------------------- TPU/JAX
+    _C.TPU = CfgNode()
+    _C.TPU.COMPUTE_DTYPE = "bfloat16"  # activations/matmul dtype on device
+    _C.TPU.PARAM_DTYPE = "float32"
+    _C.TPU.MATCHING_PRECISION = "highest"  # merge-decision matmul precision
+    _C.TPU.MESH_AXES = ["data"]
+    _C.TPU.DONATE_INPUT = True
+
+    return _C
+
+
+def assert_and_infer_cfg(cfg: CfgNode) -> CfgNode:
+    """Validation mirroring the reference assert_and_infer_cfg
+    (slowfast/config/defaults.py:1260-1286)."""
+    assert cfg.TRAIN.BATCH_SIZE % max(cfg.NUM_GPUS, 1) == 0, (
+        f"TRAIN.BATCH_SIZE {cfg.TRAIN.BATCH_SIZE} must be divisible by "
+        f"NUM_GPUS {cfg.NUM_GPUS}"
+    )
+    assert cfg.TEST.BATCH_SIZE % max(cfg.NUM_GPUS, 1) == 0
+    assert cfg.TEST.NUM_SPATIAL_CROPS in (1, 3)
+    assert cfg.SHARD_ID < cfg.NUM_SHARDS
+    assert cfg.TOME.MODE in ("merge", "random_merge", "drop", "random_drop", "hybrid")
+    assert cfg.TOME.HEAD_AGGREGATION in ("mean", "concat")
+    return cfg

@@ -17,6 +17,16 @@ import pytest
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+# Persistent compilation cache: remote TPU compiles run ~40s/shape —
+# cache them across test sessions.
+try:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 REFERENCE = pathlib.Path("/root/reference")
 
 

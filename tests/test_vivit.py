@@ -1,0 +1,130 @@
+"""ViViT golden tests vs HF transformers VivitForVideoClassification."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtm.checkpoints.convert import convert_vivit
+from vtm.merge.policy import MergePolicy
+from vtm.models.vivit import ViViT, ViViTConfig
+
+TINY = ViViTConfig(
+    image_size=32,
+    num_frames=4,
+    tubelet_size=(2, 16, 16),
+    hidden_size=32,
+    num_hidden_layers=2,
+    num_attention_heads=2,
+    intermediate_size=64,
+    num_classes=5,
+)
+
+
+def _hf_tiny():
+    torch = pytest.importorskip("torch")
+    from transformers import VivitConfig as HFConfig
+    from transformers import VivitForVideoClassification
+
+    torch.manual_seed(0)
+    hf = VivitForVideoClassification(
+        HFConfig(
+            image_size=TINY.image_size,
+            num_frames=TINY.num_frames,
+            tubelet_size=list(TINY.tubelet_size),
+            hidden_size=TINY.hidden_size,
+            num_hidden_layers=TINY.num_hidden_layers,
+            num_attention_heads=TINY.num_attention_heads,
+            intermediate_size=TINY.intermediate_size,
+            hidden_act="gelu_fast",
+            num_labels=TINY.num_classes,
+            attn_implementation="eager",
+        )
+    ).eval()
+    # break the zero-init symmetry of cls/pos embeddings
+    torch.nn.init.normal_(hf.vivit.embeddings.cls_token, std=0.5)
+    torch.nn.init.normal_(hf.vivit.embeddings.position_embeddings, std=0.5)
+    return hf
+
+
+def test_unmerged_logits_match_hf():
+    import torch
+
+    hf = _hf_tiny()
+    params = convert_vivit(hf.state_dict(), depth=TINY.num_hidden_layers)
+    model = ViViT(config=TINY)
+
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal(
+        (2, TINY.num_frames, TINY.image_size, TINY.image_size, 3)
+    ).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(video).permute(0, 1, 4, 2, 3)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got, _ = model.apply({"params": params}, jnp.asarray(video))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+
+
+def test_merged_cls_protected():
+    """With merging on, the CLS token must never be merged: sizes stay 1
+    at position 0 (reference: merge.py:59-62,71-73)."""
+    policy = MergePolicy(rs=(1, 1), mode="merge", prop_attn=True, class_token=True)
+    model = ViViT(config=TINY, policy=policy)
+    video = jnp.asarray(
+        np.random.default_rng(1).standard_normal(
+            (1, TINY.num_frames, TINY.image_size, TINY.image_size, 3)
+        ),
+        dtype=jnp.float32,
+    )
+    params = model.init(jax.random.key(0), video)["params"]
+    logits, state = model.apply({"params": params}, video)
+    assert logits.shape == (1, TINY.num_classes)
+    sizes = np.asarray(state.size)
+    assert sizes.shape[1] == TINY.tokens - 2
+    assert sizes[:, 0].max() == 1.0  # CLS size unchanged
+    assert sizes.sum() == TINY.tokens  # mass conserved
+
+
+def test_epic_twin_heads():
+    cfg = ViViTConfig(
+        image_size=TINY.image_size,
+        num_frames=TINY.num_frames,
+        tubelet_size=TINY.tubelet_size,
+        hidden_size=TINY.hidden_size,
+        num_hidden_layers=TINY.num_hidden_layers,
+        num_attention_heads=TINY.num_attention_heads,
+        intermediate_size=TINY.intermediate_size,
+        num_classes=(97, 300),
+    )
+    model = ViViT(config=cfg)
+    video = jnp.zeros((1, 4, 32, 32, 3))
+    params = model.init(jax.random.key(0), video)["params"]
+    (verb, noun), _ = model.apply({"params": params}, video)
+    assert verb.shape == (1, 97) and noun.shape == (1, 300)
+
+
+def test_config_from_json(tmp_path):
+    d = {
+        "video_size": [16, 224, 224],
+        "tubelet_size": [2, 16, 16],
+        "num_channels": 3,
+        "hidden_size": 768,
+        "num_hidden_layers": 12,
+        "num_attention_heads": 12,
+        "intermediate_size": 3072,
+        "hidden_act": "gelu_fast",
+        "hidden_dropout_prob": 0.0,
+        "attention_probs_dropout_prob": 0.0,
+        "initializer_range": 0.02,
+        "layer_norm_eps": 1e-6,
+        "qkv_bias": True,
+    }
+    p = tmp_path / "vivit.json"
+    p.write_text(json.dumps(d))
+    cfg = ViViTConfig.from_json(str(p), 400)
+    assert cfg.tokens == 8 * 14 * 14 + 1
+    assert cfg.hidden_size == 768

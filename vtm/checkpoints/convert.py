@@ -1,0 +1,214 @@
+"""Torch-checkpoint -> JAX pytree converters.
+
+One-way importers for the pretrained weights the reference consumes
+(SURVEY.md §5 checkpoint/resume): the reference loads `.pyth` files
+with a ``model_state`` dict and also "foreign" checkpoints — VideoMAE
+(`module.*` prefixes) and HF bare state dicts
+(slowfast/utils/checkpoint.py:303-311). We accept all of these plus
+HuggingFace model naming, normalise to the original (MCG-NJU / HF)
+key space, and emit flax param trees matching vtm's modules.
+
+All converters are pure dict->dict transforms over numpy arrays; torch
+is only needed to deserialise ``.pyth``/``.pth`` files.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().numpy()  # torch tensor
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch checkpoint file and return a flat name->numpy dict.
+    Handles the reference's `.pyth` layout ({'model_state': ...}) and
+    bare state dicts (checkpoint.py:295-311)."""
+    import torch
+
+    blob = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(blob, dict):
+        for key in ("model_state", "model", "state_dict"):
+            if key in blob and isinstance(blob[key], dict):
+                blob = blob[key]
+                break
+    return {k: _np(v) for k, v in blob.items()}
+
+
+def strip_prefixes(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Remove wrapper prefixes: 'module.', 'model.', 'backbone.'."""
+    out = {}
+    for k, v in sd.items():
+        for pre in ("module.", "model.", "backbone."):
+            if k.startswith(pre):
+                k = k[len(pre):]
+        out[k] = v
+    return out
+
+
+def _dense(sd, name):
+    p = {"kernel": _np(sd[f"{name}.weight"]).T}
+    if f"{name}.bias" in sd:
+        p["bias"] = _np(sd[f"{name}.bias"])
+    return p
+
+
+def _layernorm(sd, name):
+    return {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+
+def _conv3d(sd, name):
+    # torch [D, C, kt, kh, kw] -> flax [kt, kh, kw, C, D]
+    p = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 4, 1, 0)}
+    if f"{name}.bias" in sd:
+        p["bias"] = _np(sd[f"{name}.bias"])
+    return p
+
+
+def _conv2d(sd, name):
+    # torch [D, C, kh, kw] -> flax [kh, kw, C, D]
+    p = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        p["bias"] = _np(sd[f"{name}.bias"])
+    return p
+
+
+# --------------------------------------------------------------------- VideoMAE
+
+
+def _hf_videomae_to_original(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HuggingFace VideoMAEForVideoClassification names -> original
+    MCG-NJU names (fusing separate q/k/v back into qkv)."""
+    out = {}
+    layer_re = re.compile(r"^videomae\.encoder\.layer\.(\d+)\.")
+    fused: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        v = _np(v)
+        if k.startswith("videomae.embeddings.patch_embeddings.projection."):
+            out["patch_embed.proj." + k.rsplit(".", 1)[1]] = v
+        elif k == "fc_norm.weight":
+            out["fc_norm.weight"] = v
+        elif k == "fc_norm.bias":
+            out["fc_norm.bias"] = v
+        elif k == "videomae.layernorm.weight":
+            out["norm.weight"] = v
+        elif k == "videomae.layernorm.bias":
+            out["norm.bias"] = v
+        elif k.startswith("classifier."):
+            out["head." + k.split(".", 1)[1]] = v
+        elif layer_re.match(k):
+            i = int(layer_re.match(k).group(1))
+            rest = layer_re.sub("", k)
+            pre = f"blocks.{i}."
+            if rest.endswith("attention.attention.q_bias"):
+                out[pre + "attn.q_bias"] = v
+            elif rest.endswith("attention.attention.v_bias"):
+                out[pre + "attn.v_bias"] = v
+            elif rest in (
+                "attention.attention.query.weight",
+                "attention.attention.key.weight",
+                "attention.attention.value.weight",
+            ):
+                fused.setdefault(i, {})[rest.split(".")[-2]] = v
+            elif rest.startswith("attention.output.dense."):
+                out[pre + "attn.proj." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("intermediate.dense."):
+                out[pre + "mlp.fc1." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("output.dense."):
+                out[pre + "mlp.fc2." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("layernorm_before."):
+                out[pre + "norm1." + rest.rsplit(".", 1)[1]] = v
+            elif rest.startswith("layernorm_after."):
+                out[pre + "norm2." + rest.rsplit(".", 1)[1]] = v
+    for i, qkv in fused.items():
+        out[f"blocks.{i}.attn.qkv.weight"] = np.concatenate(
+            [qkv["query"], qkv["key"], qkv["value"]], axis=0
+        )
+    return out
+
+
+def convert_videomae(sd: Mapping[str, np.ndarray], depth: int) -> dict:
+    """Original VideoMAE state dict -> vtm.models.videomae.VideoMAE params.
+
+    Accepts HF naming too (auto-detected). Reference loading quirks
+    handled upstream by :func:`strip_prefixes` / :func:`load_torch_state_dict`.
+    """
+    if any(k.startswith("videomae.") for k in sd):
+        sd = _hf_videomae_to_original(sd)
+    sd = strip_prefixes(sd)
+
+    params: dict = {"patch_embed": _conv3d(sd, "patch_embed.proj")}
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        block: dict = {
+            "norm1": _layernorm(sd, f"{pre}.norm1"),
+            "norm2": _layernorm(sd, f"{pre}.norm2"),
+            "attn": {
+                "qkv": {"kernel": _np(sd[f"{pre}.attn.qkv.weight"]).T},
+                "proj": _dense(sd, f"{pre}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+                "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+        if f"{pre}.attn.q_bias" in sd:
+            block["attn"]["q_bias"] = _np(sd[f"{pre}.attn.q_bias"])
+            block["attn"]["v_bias"] = _np(sd[f"{pre}.attn.v_bias"])
+        if f"{pre}.gamma_1" in sd:
+            block["gamma_1"] = _np(sd[f"{pre}.gamma_1"])
+            block["gamma_2"] = _np(sd[f"{pre}.gamma_2"])
+        params[f"blocks_{i}"] = block
+
+    if "fc_norm.weight" in sd:
+        params["fc_norm"] = _layernorm(sd, "fc_norm")
+    if "norm.weight" in sd:
+        params["norm"] = _layernorm(sd, "norm")
+    if "head.weight" in sd:
+        params["head"] = _dense(sd, "head")
+    for h in range(4):
+        if f"head{h}.weight" in sd:
+            params[f"head{h}"] = _dense(sd, f"head{h}")
+    return params
+
+
+# ----------------------------------------------------------------------- ViViT
+
+
+def convert_vivit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
+    """HF/reference ViViT state dict -> vtm.models.vivit.ViViT params.
+
+    Accepts both the reference wrapper layout (vivit.* + classifier /
+    verb_classifier+noun_classifier; vivit_video_model_builder.py:22-28)
+    and HF VivitForVideoClassification (vivit.* + classifier)."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    params: dict = {
+        "patch_embed": _conv3d(sd, "vivit.embeddings.patch_embeddings.projection"),
+        "cls_token": sd["vivit.embeddings.cls_token"],
+        "position_embeddings": sd["vivit.embeddings.position_embeddings"],
+        "layernorm": _layernorm(sd, "vivit.layernorm"),
+    }
+    for i in range(depth):
+        pre = f"vivit.encoder.layer.{i}"
+        params[f"layer_{i}"] = {
+            "layernorm_before": _layernorm(sd, f"{pre}.layernorm_before"),
+            "layernorm_after": _layernorm(sd, f"{pre}.layernorm_after"),
+            "attention": {
+                "query": _dense(sd, f"{pre}.attention.attention.query"),
+                "key": _dense(sd, f"{pre}.attention.attention.key"),
+                "value": _dense(sd, f"{pre}.attention.attention.value"),
+            },
+            "attention_output": _dense(sd, f"{pre}.attention.output.dense"),
+            "intermediate": _dense(sd, f"{pre}.intermediate.dense"),
+            "output": _dense(sd, f"{pre}.output.dense"),
+        }
+    for name in ("classifier", "verb_classifier", "noun_classifier"):
+        if f"{name}.weight" in sd:
+            params[name] = _dense(sd, name)
+    return params

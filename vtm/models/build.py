@@ -1,0 +1,90 @@
+"""Model registry + builder (reference: slowfast/models/build.py:16-84).
+
+``build_model(cfg, policy)`` returns a ``ModelBundle``: the flax module,
+its initialised (or converted) params, and a jitted apply function.
+There is no DDP wrap — data parallelism is a sharding of the batch over
+the device mesh (vtm/parallel), applied by the drivers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from vtm.merge.policy import MergePolicy
+
+MODEL_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_model(name: str):
+    def deco(fn):
+        MODEL_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    """A built model: module + params + metadata."""
+
+    module: Any
+    params: Any
+    config: Any
+    policy: MergePolicy
+    name: str
+
+    def apply(self, x, rng: Optional[jax.Array] = None, trace_source: bool = False):
+        """Forward pass. x: [B, T, H, W, C] channels-last."""
+        out, state = self.module.apply({"params": self.params}, x, rng=rng)
+        return out, state
+
+    def init_params(self, rng: jax.Array, sample: jax.Array):
+        self.params = self.module.init(rng, sample)["params"]
+        return self.params
+
+
+def compute_dtype(cfg) -> jnp.dtype:
+    return {
+        "bfloat16": jnp.bfloat16,
+        "float32": jnp.float32,
+        "float16": jnp.float16,
+    }[cfg.TPU.COMPUTE_DTYPE]
+
+
+def make_policy(cfg, depth: int, n_protected_class_token: bool) -> MergePolicy:
+    """Build the MergePolicy from TOME.* config keys, replicating the
+    driver-side patching logic (tools/test_net.py:259-283)."""
+    from vtm.merge.schedule import parse_r
+
+    if not cfg.TOME.ENABLE:
+        return MergePolicy(rs=(0,) * depth, mode="none")
+    r = (cfg.TOME.R_VALUE, cfg.TOME.SCHEDULE) if cfg.TOME.SCHEDULE else cfg.TOME.R_VALUE
+    rs = tuple(parse_r(depth, r))
+    return MergePolicy(
+        rs=rs,
+        mode=cfg.TOME.MODE,
+        prop_attn=cfg.TOME.PROP_ATTN,
+        head_aggregation=cfg.TOME.HEAD_AGGREGATION,
+        threshold=cfg.TOME.THRESHOLD,
+        trace_source=cfg.TOME.TRACE_SOURCE,
+        class_token=n_protected_class_token,
+    )
+
+
+def build_model(cfg, rng: Optional[jax.Array] = None, init: bool = True) -> ModelBundle:
+    name = cfg.MODEL.MODEL_NAME
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"Unknown MODEL.MODEL_NAME {name!r}; registered: {sorted(MODEL_REGISTRY)}"
+        )
+    bundle = MODEL_REGISTRY[name](cfg)
+    if init and bundle.params is None:
+        rng = rng if rng is not None else jax.random.key(cfg.RNG_SEED)
+        t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.TEST_CROP_SIZE
+        sample = jnp.zeros((1, t, s, s, 3), dtype=jnp.float32)
+        bundle.init_params(rng, sample)
+    return bundle

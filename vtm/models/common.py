@@ -1,0 +1,119 @@
+"""Shared model components (flax.linen), TPU-first.
+
+Conventions:
+  * activations in ``dtype`` (bf16 by default), params in fp32,
+    layernorms/softmax in fp32;
+  * video tensors are channels-last [B, T, H, W, C] on device (the
+    drivers permute from the reference's [B, C, T, H, W]);
+  * attention modules return ``(out, metric)`` where metric is the
+    head-aggregated key tensor used for token matching (reference:
+    e.g. tome/patch/videomae.py:72-75).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def sinusoid_encoding_table(n_position: int, d_hid: int) -> np.ndarray:
+    """Fixed sin-cos positional table (reference:
+    slowfast/models/videomae_video_model_builder.py:164-174)."""
+    position = np.arange(n_position)[:, None]
+    dim = np.arange(d_hid)[None, :]
+    angle = position / np.power(10000.0, 2 * (dim // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), dtype=np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table[None]
+
+
+def aggregate_metric(k: jnp.ndarray, head_aggregation: str) -> jnp.ndarray:
+    """Aggregate per-head keys [B, H, N, hd] into a matching metric.
+
+    'mean'   -> [B, N, hd]   (reference k.mean(1))
+    'concat' -> [B, N, H*hd] (reference torch.cat(k.split(1,1), -1))
+    """
+    if head_aggregation == "mean":
+        return k.mean(axis=1)
+    if head_aggregation == "concat":
+        b, h, n, hd = k.shape
+        return jnp.transpose(k, (0, 2, 1, 3)).reshape(b, n, h * hd)
+    raise ValueError(f"unknown head_aggregation {head_aggregation!r}")
+
+
+def proportional_attn_bias(size: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
+    """log(size) bias broadcast over queries/heads: [B, N, 1] ->
+    [B, 1, 1, N] added to attention logits (reference: e.g.
+    tome/patch/vivit.py:103-104)."""
+    if size is None:
+        return None
+    return jnp.log(size[:, :, 0])[:, None, None, :]
+
+
+class Mlp(nn.Module):
+    """Transformer MLP: fc1 -> GELU -> fc2 (+dropout when training)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+    dropout: float = 0.0
+    approximate_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=self.approximate_gelu)
+        x = nn.Dense(self.out_features, dtype=self.dtype, name="fc2")(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class LayerNorm(nn.LayerNorm):
+    """fp32 layernorm regardless of activation dtype."""
+
+    def __call__(self, x):
+        return super().__call__(x.astype(jnp.float32)).astype(x.dtype)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    size_bias: Optional[jnp.ndarray] = None,
+    bias_excludes_first: bool = False,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over [B, H, N, hd] with optional
+    proportional-attention bias. Softmax in fp32.
+
+    ``bias_excludes_first``: TimeSformer adds size.log only to the
+    non-CLS block of the logits — in that case ``size_bias`` must have
+    key length N-1 and is added to logits[:, :, 1:, 1:] (reference
+    tome/patch/timesformer.py:73-74).
+    """
+    dtype = v.dtype
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+    if size_bias is not None:
+        if bias_excludes_first:
+            logits = logits.at[:, :, 1:, 1:].add(size_bias.astype(jnp.float32))
+        else:
+            logits = logits + size_bias.astype(jnp.float32)
+    probs = nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, N, hd] -> [B, N, H*hd]."""
+    b, h, n, hd = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b, n, h * hd)
+
+
+def split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[B, N, C] -> [B, H, N, C/H]."""
+    b, n, c = x.shape
+    return jnp.transpose(x.reshape(b, n, num_heads, c // num_heads), (0, 2, 1, 3))

@@ -1,0 +1,245 @@
+"""VideoMAE — joint space-time ViT with tubelet embedding, TPU-native.
+
+Functional parity target: slowfast/models/videomae_video_model_builder.py
+(VisionTransformer:177-304, Attention:59-103, Block:106-135,
+PatchEmbed:138-160) + the ToMe integration of tome/patch/videomae.py
+(ToMeBlock:13-30, ToMeAttention:47-77). Token merging is a constructor
+argument (MergePolicy), not a monkey patch; the per-layer r schedule is
+static so every block compiles with its own token count.
+
+No CLS token; fixed sin-cos positional embeddings; optional layer-scale
+(gamma_1/2); mean-pool + fc_norm head; EPIC-KITCHENS twin heads when
+num_classes is a (verb, noun) pair.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vtm.merge.policy import MergePolicy, MergeState, reduce_tokens
+from vtm.models.common import (
+    LayerNorm,
+    Mlp,
+    aggregate_metric,
+    attention_core,
+    merge_heads,
+    proportional_attn_bias,
+    sinusoid_encoding_table,
+    split_heads,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoMAEConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    num_classes: Union[int, Tuple[int, int]] = 400
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    init_values: float = 0.0  # >0 enables layer-scale gamma_1/2
+    num_frames: int = 16
+    tubelet_size: int = 2
+    use_mean_pooling: bool = True
+    fc_drop_rate: float = 0.0
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def tokens(self) -> int:
+        return (
+            (self.img_size // self.patch_size) ** 2 * (self.num_frames // self.tubelet_size)
+        )
+
+    @property
+    def multi_head(self) -> bool:
+        return isinstance(self.num_classes, (tuple, list))
+
+
+VARIANTS = {
+    # reference: videomae_video_model_builder.py:307-360
+    "vit_small_patch16_224": dict(embed_dim=384, depth=12, num_heads=6),
+    "vit_base_patch16_224": dict(embed_dim=768, depth=12, num_heads=12),
+    "vit_base_patch16_384": dict(embed_dim=768, depth=12, num_heads=12, img_size=384),
+    "vit_large_patch16_224": dict(embed_dim=1024, depth=24, num_heads=16),
+    "vit_large_patch16_384": dict(embed_dim=1024, depth=24, num_heads=16, img_size=384),
+    "vit_large_patch16_512": dict(embed_dim=1024, depth=24, num_heads=16, img_size=512),
+    "vit_huge_patch16_224": dict(embed_dim=1280, depth=32, num_heads=16),
+}
+
+
+class VideoMAEAttention(nn.Module):
+    """Fused-qkv attention with split q/v bias and zero k bias
+    (reference: videomae_video_model_builder.py:59-103 — the k bias is
+    structurally zero), returning (out, metric)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size=None, head_aggregation: str = "mean"):
+        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name="qkv")(x)
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (self.dim,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (self.dim,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            qkv = qkv + bias.astype(qkv.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (split_heads(t, self.num_heads) for t in (q, k, v))
+        scale = (self.dim // self.num_heads) ** -0.5
+        out = attention_core(q, k, v, scale, proportional_attn_bias(size))
+        out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(merge_heads(out))
+        return out, aggregate_metric(k, head_aggregation)
+
+
+class VideoMAEBlock(nn.Module):
+    """Pre-norm block with merging between attention and MLP
+    (reference: tome/patch/videomae.py:13-30).
+
+    ``layer`` and ``metric_only`` are call arguments so the same module
+    instance (= same parameters) can appear at several positions of the
+    stack — the reference's layer-duplication experiments."""
+
+    config: VideoMAEConfig
+    policy: MergePolicy
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, state: MergeState, layer: int, metric_only: bool = False):
+        c = self.config
+        use_gamma = c.init_values > 0
+        attn_out, metric = VideoMAEAttention(
+            c.embed_dim, c.num_heads, c.qkv_bias, dtype=self.dtype, name="attn"
+        )(
+            LayerNorm(epsilon=c.layer_norm_eps, name="norm1")(x),
+            state.attn_size(self.policy.prop_attn),
+            self.policy.head_aggregation,
+        )
+        if metric_only:
+            # reference ToMeDuplicateBlock (tome/patch/videomae.py:33-44):
+            # metric + reduction only, no residual update.
+            return reduce_tokens(self.policy, layer, metric, x, state)
+        if use_gamma:
+            gamma_1 = self.param("gamma_1", nn.initializers.constant(c.init_values), (c.embed_dim,))
+            attn_out = attn_out * gamma_1.astype(attn_out.dtype)
+        x = x + attn_out
+
+        x, state = reduce_tokens(self.policy, layer, metric, x, state)
+
+        mlp_out = Mlp(
+            int(c.embed_dim * c.mlp_ratio), c.embed_dim, dtype=self.dtype, name="mlp"
+        )(LayerNorm(epsilon=c.layer_norm_eps, name="norm2")(x))
+        if use_gamma:
+            gamma_2 = self.param("gamma_2", nn.initializers.constant(c.init_values), (c.embed_dim,))
+            mlp_out = mlp_out * gamma_2.astype(mlp_out.dtype)
+        return x + mlp_out, state
+
+
+class VideoMAE(nn.Module):
+    """Full model. Input: [B, T, H, W, C] channels-last video.
+
+    ``layer_schedule``: sequence of (layer_index, metric_only) pairs
+    defining the block stack — supports the reference's layer
+    duplication experiments (tome/patch/videomae.py:154-157); None
+    means the plain 0..depth-1 stack.
+    """
+
+    config: VideoMAEConfig
+    policy: MergePolicy = MergePolicy()
+    dtype: jnp.dtype = jnp.float32
+    layer_schedule: Optional[Sequence[Tuple[int, bool]]] = None
+
+    @nn.compact
+    def __call__(self, x, state: Optional[MergeState] = None, rng: Optional[jax.Array] = None):
+        c = self.config
+        if state is None:
+            state = MergeState(rng=rng)
+        x = x.astype(self.dtype)
+        # tubelet embedding: Conv over [B, T, H, W, C]
+        x = nn.Conv(
+            c.embed_dim,
+            kernel_size=(c.tubelet_size, c.patch_size, c.patch_size),
+            strides=(c.tubelet_size, c.patch_size, c.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(b, -1, c.embed_dim)
+        pos = sinusoid_encoding_table(c.tokens, c.embed_dim)
+        x = x + jnp.asarray(pos, dtype=x.dtype)
+
+        schedule = self.layer_schedule or [(i, False) for i in range(c.depth)]
+        blocks = {}
+        for step, (layer_idx, metric_only) in enumerate(schedule):
+            if layer_idx not in blocks:
+                blocks[layer_idx] = VideoMAEBlock(
+                    c, self.policy, dtype=self.dtype, name=f"blocks_{layer_idx}"
+                )
+            x, state = blocks[layer_idx](x, state, layer=step, metric_only=metric_only)
+
+        if c.use_mean_pooling:
+            feats = LayerNorm(epsilon=c.layer_norm_eps, name="fc_norm")(x.mean(axis=1))
+        else:
+            feats = LayerNorm(epsilon=c.layer_norm_eps, name="norm")(x)[:, 0]
+
+        if c.multi_head:
+            logits = tuple(
+                nn.Dense(n, dtype=jnp.float32, name=f"head{i}")(feats)
+                for i, n in enumerate(c.num_classes)
+            )
+        else:
+            logits = nn.Dense(c.num_classes, dtype=jnp.float32, name="head")(feats)
+        return logits, state
+
+
+def build_videomae(cfg, policy: Optional[MergePolicy] = None, dtype=jnp.float32) -> VideoMAE:
+    """Construct from a vtm config (reference wrapper:
+    videomae_video_model_builder.py:363-398)."""
+    variant = dict(VARIANTS[cfg.VIDEOMAE.MODEL])
+    num_classes = (
+        cfg.MODEL.NUM_CLASSES
+        if cfg.EPICKITCHENS.NUM_CLASSES is None
+        else tuple(cfg.EPICKITCHENS.NUM_CLASSES)
+    )
+    config = VideoMAEConfig(
+        num_classes=num_classes,
+        num_frames=cfg.DATA.NUM_FRAMES,
+        tubelet_size=cfg.VIDEOMAE.TUBELET_SIZE,
+        fc_drop_rate=cfg.VIDEOMAE.FC_DROP_RATE,
+        drop_rate=cfg.VIDEOMAE.DROP_RATE,
+        drop_path_rate=cfg.VIDEOMAE.DROP_PATH_RATE,
+        attn_drop_rate=cfg.VIDEOMAE.ATTN_DROP_RATE,
+        use_mean_pooling=cfg.VIDEOMAE.USE_MEAN_POOLING,
+        **variant,
+    )
+    return VideoMAE(config=config, policy=policy or MergePolicy(), dtype=dtype)
+
+
+from vtm.models.build import ModelBundle, compute_dtype, make_policy, register_model  # noqa: E402
+
+
+@register_model("VideoMAE")
+def _build_videomae_bundle(cfg) -> ModelBundle:
+    policy = make_policy(cfg, 12 if "huge" not in cfg.VIDEOMAE.MODEL else 32,
+                         n_protected_class_token=False)
+    module = build_videomae(cfg, policy=policy, dtype=compute_dtype(cfg))
+    # depth may differ from the policy guess for large variants; rebuild
+    # the policy against the real depth.
+    depth = module.config.depth
+    if len(policy.rs) != depth:
+        policy = make_policy(cfg, depth, n_protected_class_token=False)
+        module = build_videomae(cfg, policy=policy, dtype=compute_dtype(cfg))
+    return ModelBundle(module=module, params=None, config=module.config, policy=policy, name="VideoMAE")

@@ -32,12 +32,45 @@ REFERENCE = pathlib.Path("/root/reference")
 
 def load_reference_module(relpath: str, name: str):
     """Import a module from the read-only reference repo to use as a
-    numerical oracle in parity tests (we never copy its code)."""
+    numerical oracle in parity tests (we never copy its code). Missing
+    optional deps of the reference (torchvision) are stubbed — the
+    oracle functions we call don't touch them."""
     path = REFERENCE / relpath
     if not path.exists():
         pytest.skip(f"reference oracle {relpath} not available")
-    spec = importlib.util.spec_from_file_location(name, path)
+    import types
+    import unittest.mock as mock
+
+    for stub in (
+        "torchvision",
+        "torchvision.transforms",
+        "torchvision.transforms.functional",
+        "torchvision.io",
+        "av",
+    ):
+        if stub not in sys.modules:
+            try:
+                importlib.import_module(stub)
+            except ImportError:
+                m = mock.MagicMock(name=stub)
+                # a real ModuleSpec so importlib.util.find_spec() on the
+                # stub (e.g. transformers' av probe) doesn't blow up
+                m.__spec__ = importlib.machinery.ModuleSpec(stub, None)
+                sys.modules[stub] = m
+    # Register synthetic parent packages (without running their
+    # __init__, which pulls unavailable deps) so the oracle module's
+    # relative imports resolve against the reference tree.
+    parts = relpath[:-3].split("/")  # e.g. slowfast/datasets/transform
+    modname = ".".join(parts)
+    for i in range(1, len(parts)):
+        pkg = ".".join(parts[:i])
+        if pkg not in sys.modules:
+            pkg_mod = types.ModuleType(pkg)
+            pkg_mod.__path__ = [str(REFERENCE / "/".join(parts[:i]))]
+            sys.modules[pkg] = pkg_mod
+    spec = importlib.util.spec_from_file_location(modname, path)
     mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
     spec.loader.exec_module(mod)
     return mod
 

@@ -1,0 +1,123 @@
+"""Data pipeline: transforms parity vs reference math, loader collation,
+synthetic dataset, kinetics csv handling."""
+
+import numpy as np
+import pytest
+
+from vtm.config import get_cfg
+from vtm.data import construct_loader
+from vtm.data.decoder import get_start_end_idx, temporal_sampling
+from vtm.data.transform import spatial_sampling, tensor_normalize, uniform_crop
+
+
+@pytest.fixture(scope="session")
+def ref_transform():
+    from conftest import load_reference_module
+
+    return load_reference_module("slowfast/datasets/transform.py", "ref_transform")
+
+
+def test_uniform_crop_matches_reference(ref_transform):
+    import torch
+
+    rng = np.random.default_rng(0)
+    frames = rng.random((3, 120, 160, 3)).astype(np.float32)
+    for idx in (0, 1, 2):
+        ref, _ = ref_transform.uniform_crop(
+            torch.from_numpy(frames).permute(0, 3, 1, 2), 100, idx
+        )
+        got = uniform_crop(frames, 100, idx)
+        np.testing.assert_allclose(got, ref.permute(0, 2, 3, 1).numpy())
+
+
+def test_get_start_end_idx_matches_reference():
+    from conftest import load_reference_module
+
+    ref_decoder = load_reference_module("slowfast/datasets/decoder.py", "ref_decoder")
+    for video_size, clip_size, clip_idx, num_clips in [
+        (300, 64, 0, 10),
+        (300, 64, 9, 10),
+        (300, 64, 2, 5),
+        (50, 64, 0, 1),
+        (100, 32.5, 3, 7),
+    ]:
+        ref = ref_decoder.get_start_end_idx(video_size, clip_size, clip_idx, num_clips)
+        got = get_start_end_idx(video_size, clip_size, clip_idx, num_clips)
+        assert got == tuple(ref)
+
+
+def test_temporal_sampling_matches_reference():
+    from conftest import load_reference_module
+    import torch
+
+    ref_decoder = load_reference_module("slowfast/datasets/decoder.py", "ref_decoder")
+    frames = np.arange(60, dtype=np.float32).reshape(60, 1, 1, 1)
+    ref = ref_decoder.temporal_sampling(torch.from_numpy(frames), 3.2, 41.7, 8)
+    got = temporal_sampling(frames, 3.2, 41.7, 8)
+    np.testing.assert_allclose(got, ref.numpy())
+
+
+def test_tensor_normalize():
+    frames = np.full((1, 2, 2, 3), 255, dtype=np.uint8)
+    out = tensor_normalize(frames, [0.5, 0.5, 0.5], [0.25, 0.25, 0.25])
+    np.testing.assert_allclose(out, 2.0)
+
+
+def test_spatial_sampling_test_mode_deterministic():
+    rng = np.random.default_rng(1)
+    frames = rng.random((2, 140, 180, 3)).astype(np.float32)
+    a = spatial_sampling(frames, spatial_idx=1, min_scale=128, max_scale=128, crop_size=112)
+    b = spatial_sampling(frames, spatial_idx=1, min_scale=128, max_scale=128, crop_size=112)
+    assert a.shape == (2, 112, 112, 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_synthetic_loader_collation():
+    cfg = get_cfg()
+    cfg.TEST.DATASET = "synthetic"
+    cfg.TEST.BATCH_SIZE = 4
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.DATA.NUM_FRAMES = 2
+    cfg.DATA.TEST_CROP_SIZE = 16
+    loader = construct_loader(cfg, "test")
+    n_clips = 0
+    for batch in loader:
+        assert batch["frames"].ndim == 5 and batch["frames"].shape[1:] == (2, 16, 16, 3)
+        assert batch["label"].shape == batch["index"].shape
+        n_clips += batch["frames"].shape[0]
+    assert n_clips == len(loader.dataset)
+    # same video id -> identical frames across views (deterministic)
+    d = loader.dataset
+    assert np.array_equal(d[0]["frames"], d[1]["frames"])
+    assert not np.array_equal(d[0]["frames"], d[2]["frames"])
+
+
+def test_kinetics_csv(tmp_path):
+    # synthesize a tiny video with cv2 and a csv pointing at it
+    import cv2
+
+    vid_path = tmp_path / "v0.avi"
+    w = cv2.VideoWriter(
+        str(vid_path), cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48)
+    )
+    rng = np.random.default_rng(0)
+    for _ in range(48):
+        w.write(rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8))
+    w.release()
+    (tmp_path / "test.csv").write_text(f"{vid_path} 3\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    from vtm.data.kinetics import Kinetics
+
+    ds = Kinetics(cfg, "test")
+    assert len(ds) == 6  # 1 video x 2 views x 3 crops
+    item = ds[0]
+    assert item["frames"].shape == (4, 32, 32, 3)
+    assert item["label"] == 3

@@ -1,0 +1,82 @@
+"""End-to-end driver tests on the synthetic dataset (tiny models)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vtm.config import assert_and_infer_cfg, get_cfg
+
+
+def _tiny_vivit_cfg(tmp_path):
+    d = {
+        "video_size": [4, 32, 32],
+        "tubelet_size": [2, 16, 16],
+        "num_channels": 3,
+        "hidden_size": 32,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 2,
+        "intermediate_size": 64,
+        "hidden_act": "gelu_fast",
+        "hidden_dropout_prob": 0.0,
+        "attention_probs_dropout_prob": 0.0,
+        "initializer_range": 0.02,
+        "layer_norm_eps": 1e-6,
+        "qkv_bias": True,
+    }
+    p = tmp_path / "vivit.json"
+    p.write_text(json.dumps(d))
+    cfg = get_cfg()
+    cfg.merge_from_list(
+        [
+            "MODEL.MODEL_NAME", "ViViT",
+            "VIVIT.CONFIG_PATH", str(p),
+            "MODEL.NUM_CLASSES", "5",
+            "DATA.NUM_FRAMES", "4",
+            "DATA.TEST_CROP_SIZE", "32",
+            "TEST.DATASET", "synthetic",
+            "TEST.BATCH_SIZE", "4",
+            "TEST.NUM_ENSEMBLE_VIEWS", "2",
+            "TEST.NUM_SPATIAL_CROPS", "1",
+            "TOME.ENABLE", "True",
+            "TOME.R_VALUE", "1",
+            "TPU.COMPUTE_DTYPE", "float32",
+            "DATA_LOADER.NUM_WORKERS", "2",
+            "OUTPUT_DIR", str(tmp_path),
+        ]
+    )
+    return assert_and_infer_cfg(cfg)
+
+
+def test_test_net_end_to_end(tmp_path):
+    from tools.test_net import test as run_test
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    results = run_test(cfg)
+    assert len(results) == 1
+    num_view, stats = results[0]
+    assert num_view == 2
+    assert "top1_acc" in stats
+    assert 0.0 <= float(stats["top1_acc"]) <= 100.0
+
+
+def test_model_benchmark_end_to_end(tmp_path):
+    from tools.model_benchmark import model_benchmark
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    cfg.MODEL_BENCHMARK.WARMUP_ITERATIONS = 1
+    cfg.MODEL_BENCHMARK.ITERATIONS = 3
+    stats = model_benchmark(cfg)
+    assert stats["fps"] > 0
+    assert stats["clips_per_sec"] > 0
+
+
+def test_data_benchmark_end_to_end(tmp_path):
+    from tools.benchmark import benchmark_data_loading
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.BENCHMARK.NUM_EPOCHS = 1
+    stats = benchmark_data_loading(cfg)
+    assert stats["batches_per_sec"] > 0

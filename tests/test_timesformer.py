@@ -1,0 +1,124 @@
+"""TimeSformer golden tests vs HF TimesformerForVideoClassification and
+merged-mode invariants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtm.checkpoints.convert import convert_timesformer
+from vtm.merge.policy import MergePolicy
+from vtm.models.timesformer import TimeSformer, TimeSformerConfig
+
+TINY = TimeSformerConfig(
+    img_size=32,
+    patch_size=16,
+    num_classes=5,
+    embed_dim=32,
+    depth=2,
+    num_heads=2,
+    mlp_ratio=2.0,
+    num_frames=4,
+)
+
+
+def _hf_tiny():
+    torch = pytest.importorskip("torch")
+    from transformers import TimesformerConfig as HFConfig
+    from transformers import TimesformerForVideoClassification
+
+    torch.manual_seed(0)
+    hf = TimesformerForVideoClassification(
+        HFConfig(
+            image_size=TINY.img_size,
+            patch_size=TINY.patch_size,
+            num_frames=TINY.num_frames,
+            hidden_size=TINY.embed_dim,
+            num_hidden_layers=TINY.depth,
+            num_attention_heads=TINY.num_heads,
+            intermediate_size=int(TINY.embed_dim * TINY.mlp_ratio),
+            num_labels=TINY.num_classes,
+            attention_type="divided_space_time",
+            attn_implementation="eager",
+        )
+    ).eval()
+    import torch as _t
+
+    _t.nn.init.normal_(hf.timesformer.embeddings.cls_token, std=0.5)
+    _t.nn.init.normal_(hf.timesformer.embeddings.position_embeddings, std=0.5)
+    _t.nn.init.normal_(hf.timesformer.embeddings.time_embeddings, std=0.5)
+    return hf
+
+
+def test_unmerged_logits_match_hf():
+    import torch
+
+    hf = _hf_tiny()
+    params = convert_timesformer(
+        hf.state_dict(),
+        depth=TINY.depth,
+        num_frames=TINY.num_frames,
+        spatial_tokens=TINY.spatial_tokens,
+    )
+    model = TimeSformer(config=TINY)
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal((2, TINY.num_frames, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(video).permute(0, 1, 4, 2, 3)).logits.numpy()
+    with jax.default_matmul_precision("highest"):
+        got, _ = model.apply({"params": params}, jnp.asarray(video))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
+
+
+def test_merged_per_frame_shrinks():
+    policy = MergePolicy(rs=(1, 1), mode="merge", prop_attn=True)
+    model = TimeSformer(config=TINY, policy=policy)
+    video = jnp.asarray(
+        np.random.default_rng(1).standard_normal((1, TINY.num_frames, 32, 32, 3)),
+        dtype=jnp.float32,
+    )
+    params = model.init(jax.random.key(0), video)["params"]
+    logits, state = model.apply({"params": params}, video)
+    assert logits.shape == (1, TINY.num_classes)
+    # per-frame sizes: [(B*T), P - sum(r), 1]; P=4 spatial tokens -> 2
+    assert state.size.shape == (1 * TINY.num_frames, 4 - 2, 1)
+    # per-frame token mass conserved
+    np.testing.assert_allclose(np.asarray(state.size).sum(axis=1), 4.0)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_image_vit_init_rule():
+    """Converter clones spatial->temporal attn and zero-inits temporal_fc
+    when given image-ViT-style weights (helpers:185-201)."""
+    import torch
+
+    hf = _hf_tiny()
+    sd = {
+        k: v
+        for k, v in _hf_timesformer_to_orig_sd(hf).items()
+        if "temporal" not in k
+    }
+    params = convert_timesformer(sd, depth=TINY.depth)
+    blk = params["blocks_0"]
+    np.testing.assert_array_equal(
+        blk["temporal_attn"]["qkv"]["kernel"], blk["attn"]["qkv"]["kernel"]
+    )
+    assert np.all(blk["temporal_fc"]["kernel"] == 0)
+
+
+def _hf_timesformer_to_orig_sd(hf):
+    from vtm.checkpoints.convert import _hf_timesformer_to_original
+
+    return _hf_timesformer_to_original(hf.state_dict())
+
+
+def test_pos_embed_interpolation():
+    import torch
+
+    hf = _hf_tiny()
+    params = convert_timesformer(
+        hf.state_dict(), depth=TINY.depth, num_frames=8, spatial_tokens=16
+    )
+    assert params["pos_embed"].shape[1] == 17
+    assert params["time_embed"].shape[1] == 8

@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Multi-view test driver (reference: tools/test_net.py).
+
+Flow (test_net.py:210-402): per NUM_TEMPORAL_CLIPS entry — build model,
+load checkpoint, construct loader and meter, run multi-view inference,
+ensemble per-video predictions, report top-1/5 (or verb/noun/action).
+TPU-native: one process, data-parallel mesh sharding instead of
+DDP/all_gather; the per-layer merge schedule is compiled in.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax.numpy as jnp  # noqa: E402
+
+from vtm.checkpoints.checkpoint import load_test_checkpoint  # noqa: E402
+from vtm.config import assert_and_infer_cfg, load_config, parse_args  # noqa: E402
+from vtm.data import construct_loader  # noqa: E402
+from vtm.eval.meters import EPICTestMeter, TestMeter  # noqa: E402
+from vtm.models import build_model  # noqa: E402
+from vtm.parallel.mesh import make_mesh, pad_to_multiple, replicate  # noqa: E402
+from vtm.train.train_step import make_eval_step  # noqa: E402
+from vtm.utils.env import setup_environment  # noqa: E402
+from vtm.utils.logging import get_logger, setup_logging  # noqa: E402
+
+logger = get_logger(__name__)
+
+
+def perform_test(loader, eval_step, params, meter, cfg, batch_size: int):
+    """(reference test_net.py:27-207)"""
+    is_epic = cfg.TEST.DATASET.lower() == "epickitchens" or isinstance(
+        cfg.EPICKITCHENS.NUM_CLASSES, (list, tuple)
+    )
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(loader):
+        frames, n_valid = pad_to_multiple(batch["frames"], batch_size)
+        meter.data_toc()
+        logits = eval_step(params, jnp.asarray(frames))
+        if is_epic:
+            verb = np.asarray(logits[0])[:n_valid]
+            noun = np.asarray(logits[1])[:n_valid]
+            meter.iter_toc()
+            meter.update_stats(
+                (verb, noun),
+                (batch["label"]["verb"], batch["label"]["noun"]),
+                batch.get("metadata", {}).get("narration_id")
+                if isinstance(batch.get("metadata"), dict)
+                else None,
+                batch["index"],
+            )
+        else:
+            preds = np.asarray(logits)[:n_valid]
+            meter.iter_toc()
+            meter.update_stats(preds, batch["label"], batch["index"])
+        meter.log_iter_stats(cur_iter)
+        meter.iter_tic()
+    return meter.finalize_metrics()
+
+
+def test(cfg):
+    setup_environment()
+    setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+
+    views_list = cfg.TEST.NUM_TEMPORAL_CLIPS or [cfg.TEST.NUM_ENSEMBLE_VIEWS]
+    if views_list == [-1]:
+        views_list = [1, 3, 5, 7, 10]  # reference run_net.py:29-35 sweep
+    results = []
+    for num_view in views_list:
+        cfg.TEST.NUM_ENSEMBLE_VIEWS = num_view
+        bundle = build_model(cfg)
+        bundle = load_test_checkpoint(cfg, bundle)
+
+        mesh = make_mesh()
+        params = replicate(mesh, bundle.params)
+        eval_step = make_eval_step(bundle.module, mesh)
+
+        loader = construct_loader(cfg, "test")
+        num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        assert len(loader.dataset) % num_clips == 0
+        num_videos = len(loader.dataset) // num_clips
+        if isinstance(cfg.EPICKITCHENS.NUM_CLASSES, (list, tuple)) or (
+            cfg.TEST.DATASET.lower() == "epickitchens"
+        ):
+            ncls = tuple(cfg.EPICKITCHENS.NUM_CLASSES or (97, 300))
+            meter = EPICTestMeter(num_videos, num_clips, ncls, len(loader))
+        else:
+            meter = TestMeter(
+                num_videos,
+                num_clips,
+                cfg.MODEL.NUM_CLASSES,
+                len(loader),
+                cfg.DATA.ENSEMBLE_METHOD,
+            )
+        # every device batch must be equal: pad to a fixed size that is
+        # a multiple of the mesh (keeps one compiled shape per run)
+        n_dev = mesh.devices.size
+        padded_bs = -(-cfg.TEST.BATCH_SIZE // n_dev) * n_dev
+        stats = perform_test(loader, eval_step, params, meter, cfg, padded_bs)
+        results.append((num_view, stats))
+        if cfg.TEST.SAVE_RESULTS_PATH:
+            with open(cfg.TEST.SAVE_RESULTS_PATH, "wb") as f:
+                if isinstance(meter, EPICTestMeter):
+                    pickle.dump(
+                        {
+                            "verb": meter.verb_preds,
+                            "noun": meter.noun_preds,
+                            "verb_labels": meter.verb_labels,
+                            "noun_labels": meter.noun_labels,
+                        },
+                        f,
+                    )
+                else:
+                    pickle.dump(
+                        {"preds": meter.video_preds, "labels": meter.video_labels}, f
+                    )
+    for num_view, stats in results:
+        logger.info("views=%d -> %s", num_view, stats)
+    return results
+
+
+def main():
+    args = parse_args()
+    for path in args.cfg_files or [None]:
+        cfg = load_config(args, path)
+        assert_and_infer_cfg(cfg)
+        test(cfg)
+
+
+if __name__ == "__main__":
+    main()

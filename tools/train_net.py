@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Fine-tuning driver (reference: tools/train_net.py).
+
+train(cfg) (reference :646-916): build model + optimizer, auto-resume,
+epoch loop with per-iter LR, EPIC dual loss, eval every EVAL_PERIOD,
+checkpoint every CHECKPOINT_PERIOD. TPU-native: bf16 module dtype
+replaces AMP/GradScaler; data-parallel jit replaces DDP; grad
+accumulation via optax.MultiSteps.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from vtm.checkpoints import checkpoint as cu  # noqa: E402
+from vtm.config import assert_and_infer_cfg, load_config, parse_args  # noqa: E402
+from vtm.data import construct_loader, shuffle_dataset  # noqa: E402
+from vtm.eval.meters import TrainMeter, ValMeter  # noqa: E402
+from vtm.eval.metrics import topk_errors  # noqa: E402
+from vtm.models import build_model  # noqa: E402
+from vtm.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch  # noqa: E402
+from vtm.train.optimizer import construct_optimizer  # noqa: E402
+from vtm.train.train_step import make_eval_step, make_train_step  # noqa: E402
+from vtm.utils.env import setup_environment  # noqa: E402
+from vtm.utils.logging import get_logger, setup_logging  # noqa: E402
+
+logger = get_logger(__name__)
+
+
+def _labels_of(batch, multi_head):
+    if multi_head:
+        return {
+            "verb": jnp.asarray(batch["label"]["verb"]),
+            "noun": jnp.asarray(batch["label"]["noun"]),
+        }
+    return jnp.asarray(batch["label"])
+
+
+def train_epoch(
+    loader, train_step, params, opt_state, lr_at, cur_epoch, meter, cfg, mesh, multi_head
+):
+    data_size = len(loader)
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(loader):
+        lr = lr_at(cur_epoch + float(cur_iter) / data_size)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
+        labels = _labels_of(batch, multi_head)
+        meter.data_toc()
+        params, opt_state, loss, logits = train_step(
+            params, opt_state, frames, labels, None
+        )
+        loss = float(loss)
+        if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
+            raise RuntimeError(f"NaN/inf loss at epoch {cur_epoch} iter {cur_iter}")
+        if multi_head:
+            top1_err, top5_err = 0.0, 0.0
+        else:
+            top1_err, top5_err = topk_errors(
+                np.asarray(logits), np.asarray(batch["label"]), (1, 5)
+            )
+        meter.iter_toc()
+        meter.update_stats(top1_err, top5_err, loss, lr, batch["frames"].shape[0])
+        meter.log_iter_stats(cur_epoch, cur_iter)
+        meter.iter_tic()
+    meter.log_epoch_stats(cur_epoch)
+    meter.reset()
+    return params, opt_state
+
+
+def eval_epoch(loader, eval_step, params, meter, cur_epoch, cfg, multi_head):
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(loader):
+        frames, n_valid = pad_to_multiple(batch["frames"], cfg.TRAIN.BATCH_SIZE)
+        meter.data_toc()
+        logits = eval_step(params, jnp.asarray(frames))
+        meter.iter_toc()
+        if not multi_head:
+            top1_err, top5_err = topk_errors(
+                np.asarray(logits)[:n_valid], np.asarray(batch["label"]), (1, 5)
+            )
+            meter.update_stats(top1_err, top5_err, n_valid)
+        meter.iter_tic()
+    meter.log_epoch_stats(cur_epoch)
+    meter.reset()
+
+
+def train(cfg):
+    setup_environment()
+    setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+    logger.info("Train with config:\n%s", cfg.dump())
+
+    bundle = build_model(cfg)
+    multi_head = isinstance(bundle.config.num_classes, (tuple, list))
+    depth = getattr(bundle.config, "depth", None) or getattr(
+        bundle.config, "num_hidden_layers", 12
+    )
+    tx_base, lr_at = construct_optimizer(cfg, bundle.params, num_layers=depth)
+    tx = (
+        optax.MultiSteps(tx_base, cfg.SOLVER.ACCUMULATE_STEPS)
+        if cfg.SOLVER.ACCUMULATE_STEPS > 1
+        else tx_base
+    )
+
+    start_epoch = 0
+    if cfg.TRAIN.AUTO_RESUME and cu.get_last_checkpoint(cfg.OUTPUT_DIR):
+        last = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
+        bundle.params, start_epoch = cu.load_checkpoint(last, bundle.params)
+        start_epoch += 1
+        logger.info("Auto-resumed from %s (epoch %d)", last, start_epoch)
+    elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
+        from vtm.checkpoints.checkpoint import load_test_checkpoint
+
+        saved = cfg.TEST.CHECKPOINT_FILE_PATH
+        cfg.TEST.CHECKPOINT_FILE_PATH = cfg.TRAIN.CHECKPOINT_FILE_PATH
+        bundle = load_test_checkpoint(cfg, bundle)
+        cfg.TEST.CHECKPOINT_FILE_PATH = saved
+
+    mesh = make_mesh()
+    params = replicate(mesh, bundle.params)
+    opt_state = tx.init(params)
+    train_step = make_train_step(
+        bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=None
+    )
+    eval_step = make_eval_step(bundle.module, mesh)
+
+    train_loader = construct_loader(cfg, "train")
+    val_loader = construct_loader(cfg, "val")
+    train_meter = TrainMeter(len(train_loader), cfg)
+    val_meter = ValMeter(len(val_loader), cfg)
+
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        shuffle_dataset(train_loader, cur_epoch)
+        params, opt_state = train_epoch(
+            train_loader,
+            train_step,
+            params,
+            opt_state,
+            lr_at,
+            cur_epoch,
+            train_meter,
+            cfg,
+            mesh,
+            multi_head,
+        )
+        if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
+            cu.save_checkpoint(cfg.OUTPUT_DIR, params, None, cur_epoch, cfg)
+        if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
+            eval_epoch(val_loader, eval_step, params, val_meter, cur_epoch, cfg, multi_head)
+    return params
+
+
+def main():
+    args = parse_args()
+    for path in args.cfg_files or [None]:
+        cfg = load_config(args, path)
+        assert_and_infer_cfg(cfg)
+        train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Checkpoint save/restore (reference: slowfast/utils/checkpoint.py).
+
+Two paths:
+  * native training checkpoints via orbax (epoch, params, opt state,
+    cfg dump) under ``<OUTPUT_DIR>/checkpoints/epoch_<N>`` — the analog
+    of the reference's ``checkpoints/checkpoint_epoch_%05d.pyth``
+    (:115-149) with max-epoch auto-resume (:61-79);
+  * one-way import of torch checkpoints through vtm.checkpoints.convert
+    (the reference's foreign-checkpoint fixups, :303-311).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+
+from vtm.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+def checkpoint_dir(output_dir: str) -> str:
+    return os.path.join(output_dir, "checkpoints")
+
+
+def _epoch_dir(output_dir: str, epoch: int) -> str:
+    return os.path.join(checkpoint_dir(output_dir), f"epoch_{epoch:05d}")
+
+
+def save_checkpoint(output_dir: str, params, opt_state, epoch: int, cfg=None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(_epoch_dir(output_dir, epoch))
+    ckptr = ocp.StandardCheckpointer()
+    payload = {
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "epoch": np.asarray(epoch),
+    }
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if cfg is not None:
+        with open(os.path.join(path, "config.yaml"), "w") as f:
+            f.write(cfg.dump())
+    logger.info("Saved checkpoint %s", path)
+    return path
+
+
+def get_last_checkpoint(output_dir: str) -> Optional[str]:
+    d = checkpoint_dir(output_dir)
+    if not os.path.isdir(d):
+        return None
+    names = [n for n in os.listdir(d) if re.match(r"epoch_\d+$", n)]
+    if not names:
+        return None
+    return os.path.join(d, max(names))
+
+
+def load_checkpoint(path: str, params_template):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "params": jax.tree_util.tree_map(np.asarray, params_template),
+        "epoch": np.asarray(0),
+    }
+    restored = ckptr.restore(os.path.abspath(path), target)
+    return restored["params"], int(restored["epoch"])
+
+
+def load_test_checkpoint(cfg, bundle):
+    """Load TEST.CHECKPOINT_FILE_PATH into the model bundle, converting
+    torch checkpoints via the per-model converter (reference
+    load_test_checkpoint, checkpoint.py:678-749)."""
+    path = cfg.TEST.CHECKPOINT_FILE_PATH
+    if not path:
+        logger.info("No TEST.CHECKPOINT_FILE_PATH given — random init")
+        return bundle
+    if os.path.isdir(path):  # native orbax checkpoint
+        bundle.params, _ = load_checkpoint(path, bundle.params)
+        return bundle
+    from vtm.checkpoints import convert
+
+    sd = convert.load_torch_state_dict(path)
+    if bundle.name == "VideoMAE":
+        bundle.params = convert.convert_videomae(sd, depth=bundle.config.depth)
+    elif bundle.name == "ViViT":
+        bundle.params = convert.convert_vivit(sd, depth=bundle.config.num_hidden_layers)
+    elif bundle.name == "TimeSformer":
+        bundle.params = convert.convert_timesformer(
+            sd,
+            depth=bundle.config.depth,
+            num_frames=bundle.config.num_frames,
+            spatial_tokens=bundle.config.spatial_tokens,
+        )
+    elif bundle.name == "Motionformer":
+        bundle.params = convert.convert_motionformer(sd, depth=bundle.config.depth)
+    else:
+        raise NotImplementedError(bundle.name)
+    logger.info("Loaded torch checkpoint %s", path)
+    return bundle

@@ -15,7 +15,7 @@ is only needed to deserialise ``.pyth``/``.pth`` files.
 from __future__ import annotations
 
 import re
-from typing import Dict, Mapping
+from typing import Dict, Mapping, Optional
 
 import numpy as np
 
@@ -211,4 +211,187 @@ def convert_vivit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
     for name in ("classifier", "verb_classifier", "noun_classifier"):
         if f"{name}.weight" in sd:
             params[name] = _dense(sd, name)
+    return params
+
+
+# ------------------------------------------------------------------ TimeSformer
+
+
+def _interp_tokens_nearest(emb: np.ndarray, new_len: int) -> np.ndarray:
+    """1-D nearest interpolation over the token axis of [1, N, D]
+    (the reference's pos/time-embed resize uses F.interpolate
+    mode='nearest' — timesformer.py:262-293, helpers:169-183)."""
+    n = emb.shape[1]
+    if n == new_len:
+        return emb
+    # torch F.interpolate nearest: src_idx = floor(dst_idx * n / new_len)
+    idx = np.floor(np.arange(new_len) * n / new_len).astype(np.int64)
+    return emb[:, idx, :]
+
+
+def _hf_timesformer_to_original(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """HF TimesformerForVideoClassification names -> original
+    facebookresearch/TimeSformer names."""
+    out = {}
+    layer_re = re.compile(r"^timesformer\.encoder\.layer\.(\d+)\.")
+    for k, v in sd.items():
+        v = _np(v)
+        if k == "timesformer.embeddings.cls_token":
+            out["cls_token"] = v
+        elif k == "timesformer.embeddings.position_embeddings":
+            out["pos_embed"] = v
+        elif k == "timesformer.embeddings.time_embeddings":
+            out["time_embed"] = v
+        elif k.startswith("timesformer.embeddings.patch_embeddings.projection."):
+            out["patch_embed.proj." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("timesformer.layernorm."):
+            out["norm." + k.rsplit(".", 1)[1]] = v
+        elif k.startswith("classifier."):
+            out["head." + k.split(".", 1)[1]] = v
+        elif layer_re.match(k):
+            i = int(layer_re.match(k).group(1))
+            rest = layer_re.sub("", k)
+            pre = f"blocks.{i}."
+            mapping = {
+                "attention.attention.qkv.": "attn.qkv.",
+                "attention.output.dense.": "attn.proj.",
+                "temporal_attention.attention.qkv.": "temporal_attn.qkv.",
+                "temporal_attention.output.dense.": "temporal_attn.proj.",
+                "temporal_dense.": "temporal_fc.",
+                "layernorm_before.": "norm1.",
+                "temporal_layernorm.": "temporal_norm1.",
+                "layernorm_after.": "norm2.",
+                "intermediate.dense.": "mlp.fc1.",
+                "output.dense.": "mlp.fc2.",
+            }
+            for hf_pre, orig_pre in mapping.items():
+                if rest.startswith(hf_pre):
+                    out[pre + orig_pre + rest[len(hf_pre):]] = v
+                    break
+    return out
+
+
+def convert_timesformer(
+    sd: Mapping[str, np.ndarray],
+    depth: int,
+    num_frames: Optional[int] = None,
+    spatial_tokens: Optional[int] = None,
+) -> dict:
+    """Original TimeSformer (or HF) state dict -> vtm TimeSformer params.
+
+    Handles pos/time-embed token-count mismatches by nearest
+    interpolation (reference timesformer.py:262-293) and clones spatial
+    attention into missing temporal attention weights, zero-initialising
+    temporal_fc — the ImageNet-init rule (timesformer_helpers.py:185-201).
+    """
+    if any(k.startswith("timesformer.") for k in sd):
+        sd = _hf_timesformer_to_original(sd)
+    sd = dict(strip_prefixes(sd))
+
+    pos = _np(sd["pos_embed"])
+    if spatial_tokens is not None and pos.shape[1] != spatial_tokens + 1:
+        cls_pos, body = pos[:, :1], pos[:, 1:]
+        pos = np.concatenate(
+            [cls_pos, _interp_tokens_nearest(body, spatial_tokens)], axis=1
+        )
+    params: dict = {
+        "cls_token": _np(sd["cls_token"]),
+        "pos_embed": pos,
+        "patch_embed": _conv2d(sd, "patch_embed.proj"),
+        "norm": _layernorm(sd, "norm"),
+    }
+    if "time_embed" in sd:
+        te = _np(sd["time_embed"])
+        if num_frames is not None and te.shape[1] != num_frames:
+            te = _interp_tokens_nearest(te, num_frames)
+        params["time_embed"] = te
+
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        block = {
+            "norm1": _layernorm(sd, f"{pre}.norm1"),
+            "norm2": _layernorm(sd, f"{pre}.norm2"),
+            "attn": {
+                "qkv": _dense(sd, f"{pre}.attn.qkv"),
+                "proj": _dense(sd, f"{pre}.attn.proj"),
+            },
+            "mlp": {
+                "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+                "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+        if f"{pre}.temporal_attn.qkv.weight" in sd:
+            block["temporal_norm1"] = _layernorm(sd, f"{pre}.temporal_norm1")
+            block["temporal_attn"] = {
+                "qkv": _dense(sd, f"{pre}.temporal_attn.qkv"),
+                "proj": _dense(sd, f"{pre}.temporal_attn.proj"),
+            }
+            block["temporal_fc"] = _dense(sd, f"{pre}.temporal_fc")
+        elif f"{pre}.attn.qkv.weight" in sd:
+            # image-ViT init: temporal attn copies spatial, temporal_fc=0
+            block["temporal_norm1"] = _layernorm(sd, f"{pre}.norm1")
+            block["temporal_attn"] = {
+                "qkv": _dense(sd, f"{pre}.attn.qkv"),
+                "proj": _dense(sd, f"{pre}.attn.proj"),
+            }
+            d = block["attn"]["proj"]["kernel"].shape[0]
+            block["temporal_fc"] = {
+                "kernel": np.zeros((d, d), np.float32),
+                "bias": np.zeros((d,), np.float32),
+            }
+        params[f"blocks_{i}"] = block
+
+    if "head.weight" in sd:
+        params["head"] = _dense(sd, "head")
+    for h in range(4):
+        if f"head{h}.weight" in sd:
+            params[f"head{h}"] = _dense(sd, f"head{h}")
+    return params
+
+
+# ----------------------------------------------------------------- Motionformer
+
+
+def convert_motionformer(sd: Mapping[str, np.ndarray], depth: int) -> dict:
+    """Motionformer state dict -> vtm Motionformer params
+    (builder: motionformer_video_model_builder.py:25-283)."""
+    sd = dict(strip_prefixes({k: _np(v) for k, v in sd.items()}))
+    params: dict = {
+        "cls_token": sd["cls_token"],
+        "pos_embed": sd["pos_embed"],
+        "norm": _layernorm(sd, "norm"),
+    }
+    if "temp_embed" in sd:
+        params["temp_embed"] = sd["temp_embed"]
+    if "st_embed" in sd:
+        params["st_embed"] = sd["st_embed"]
+    if "patch_embed_3d.proj.weight" in sd:
+        params["patch_embed_3d"] = _conv3d(sd, "patch_embed_3d.proj")
+    if "patch_embed.proj.weight" in sd:
+        params["patch_embed"] = _conv2d(sd, "patch_embed.proj")
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        attn = {
+            "qkv": _dense(sd, f"{pre}.attn.qkv"),
+            "proj": _dense(sd, f"{pre}.attn.proj"),
+        }
+        if f"{pre}.attn.proj_q.weight" in sd:
+            attn["proj_q"] = _dense(sd, f"{pre}.attn.proj_q")
+            attn["proj_kv"] = _dense(sd, f"{pre}.attn.proj_kv")
+        params[f"blocks_{i}"] = {
+            "norm1": _layernorm(sd, f"{pre}.norm1"),
+            "norm2": _layernorm(sd, f"{pre}.norm2"),
+            "attn": attn,
+            "mlp": {
+                "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+                "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+    if "pre_logits.fc.weight" in sd:
+        params["pre_logits_fc"] = _dense(sd, "pre_logits.fc")
+    if "head.weight" in sd:
+        params["head"] = _dense(sd, "head")
+    for h in range(4):
+        if f"head{h}.weight" in sd:
+            params[f"head{h}"] = _dense(sd, f"head{h}")
     return params

@@ -31,8 +31,11 @@ def parse_args(argv=None):
         default=None,
         help="path(s) to config yaml",
     )
+    # reference CLI convention (slowfast/utils/parser.py:57):
+    # --opts KEY VALUE [KEY VALUE ...]
     parser.add_argument(
-        "opts",
+        "--opts",
+        dest="opts",
         nargs=argparse.REMAINDER,
         default=None,
         help="config overrides: KEY VALUE pairs",

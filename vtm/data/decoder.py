@@ -1,0 +1,95 @@
+"""Video decode + clip index math.
+
+Clip-index math is a faithful port of slowfast/datasets/decoder.py
+(temporal_sampling:17-34, get_start_end_idx:37-78); decoding goes
+through OpenCV (PyAV is not in this image) with the same
+fps-retargeting semantics as the reference pyav path (decoder.py:378-489).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def temporal_sampling(
+    frames: np.ndarray, start_idx: float, end_idx: float, num_samples: int
+) -> np.ndarray:
+    """Sample ``num_samples`` equally spaced frames in [start, end]
+    (reference decoder.py:17-34)."""
+    index = np.linspace(start_idx, end_idx, num_samples)
+    index = np.clip(index, 0, frames.shape[0] - 1).astype(np.int64)
+    return frames[index]
+
+
+def get_start_end_idx(
+    video_size: int,
+    clip_size: float,
+    clip_idx: int,
+    num_clips_uniform: int,
+    use_offset: bool = False,
+) -> Tuple[float, float, float]:
+    """Start/end frame of the clip_idx-th of num_clips uniform clips
+    (reference decoder.py:37-78)."""
+    delta = max(video_size - clip_size, 0)
+    if clip_idx == -1:
+        start_idx = random.uniform(0, delta)
+    else:
+        if use_offset:
+            if num_clips_uniform == 1:
+                start_idx = math.floor(delta / 2)
+            else:
+                start_idx = clip_idx * math.floor(delta / (num_clips_uniform - 1))
+        else:
+            start_idx = delta * clip_idx / num_clips_uniform
+    end_idx = start_idx + clip_size - 1
+    return start_idx, end_idx, start_idx / delta if delta != 0 else 0.0
+
+
+def read_video_cv2(path: str) -> Tuple[Optional[np.ndarray], float]:
+    """Decode all frames of a video to RGB uint8 [T, H, W, 3] + fps."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None, 0.0
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        return None, fps
+    return np.stack(frames), float(fps)
+
+
+def decode(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    clip_idx: int = -1,
+    num_clips: int = 10,
+    target_fps: int = 30,
+    use_offset: bool = False,
+) -> Optional[np.ndarray]:
+    """Decode a clip: full-video read, fps-retargeted clip window, then
+    equal-interval sampling (reference decoder.py:492-666 semantics).
+
+    Returns [num_frames, H, W, 3] uint8 or None on decode failure
+    (callers implement the retry-with-replacement loop the reference
+    uses, kinetics.py:282-309).
+    """
+    frames, fps = read_video_cv2(path)
+    if frames is None:
+        return None
+    clip_size = sampling_rate * num_frames / target_fps * fps
+    start_idx, end_idx, _ = get_start_end_idx(
+        frames.shape[0], clip_size, clip_idx, num_clips, use_offset=use_offset
+    )
+    return temporal_sampling(frames, start_idx, end_idx, num_frames)

@@ -1,0 +1,126 @@
+"""Kinetics dataset (reference: slowfast/datasets/kinetics.py).
+
+csv lines ``<path><sep><label>``; test mode enumerates
+NUM_ENSEMBLE_VIEWS x NUM_SPATIAL_CROPS clips per video
+(kinetics.py:88-93,148-154); decode failures retry with a random
+replacement video (kinetics.py:282-309); DATA.DUMMY_LOAD caches the
+first decoded sample and replays it (kinetics.py:204-205,504-506).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Optional
+
+import numpy as np
+
+from vtm.data import decoder, transform
+from vtm.data.loader import register_dataset
+from vtm.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+@register_dataset("kinetics")
+class Kinetics:
+    _num_retries = 10
+
+    def __init__(self, cfg, mode: str):
+        assert mode in ("train", "val", "test")
+        self.cfg = cfg
+        self.mode = mode
+        if mode in ("train", "val"):
+            self._num_clips = 1
+        else:
+            self._num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        self._dummy_cache: Optional[tuple] = None
+        self._construct_loader()
+
+    def _construct_loader(self):
+        csv_name = {"train": "train.csv", "val": "val.csv", "test": "test.csv"}[self.mode]
+        path_to_file = os.path.join(self.cfg.DATA.PATH_TO_DATA_DIR, csv_name)
+        assert os.path.exists(path_to_file), f"{path_to_file} not found"
+        self._path_to_videos, self._labels, self._spatial_temporal_idx = [], [], []
+        with open(path_to_file) as f:
+            for clip_idx, line in enumerate(f.read().splitlines()):
+                if not line:
+                    continue
+                path, label = line.split(self.cfg.DATA.PATH_LABEL_SEPARATOR)
+                for idx in range(self._num_clips):
+                    self._path_to_videos.append(
+                        os.path.join(self.cfg.DATA.PATH_PREFIX, path)
+                    )
+                    self._labels.append(int(label))
+                    self._spatial_temporal_idx.append(idx)
+        assert self._path_to_videos, f"empty dataset at {path_to_file}"
+        logger.info(
+            "Kinetics %s: %d clips from %d videos",
+            self.mode,
+            len(self._path_to_videos),
+            len(self._path_to_videos) // self._num_clips,
+        )
+
+    def __len__(self):
+        return len(self._path_to_videos)
+
+    def __getitem__(self, index: int) -> dict:
+        cfg = self.cfg
+        if cfg.DATA.DUMMY_LOAD and self._dummy_cache is not None:
+            frames, label = self._dummy_cache
+            return {"frames": frames, "label": label, "index": index}
+
+        if self.mode in ("train", "val"):
+            temporal_sample_index = -1
+            spatial_sample_index = -1
+            min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
+            crop_size = cfg.DATA.TRAIN_CROP_SIZE
+        else:
+            temporal_sample_index = (
+                self._spatial_temporal_idx[index] // cfg.TEST.NUM_SPATIAL_CROPS
+            )
+            spatial_sample_index = (
+                self._spatial_temporal_idx[index] % cfg.TEST.NUM_SPATIAL_CROPS
+                if cfg.TEST.NUM_SPATIAL_CROPS > 1
+                else 1
+            )
+            min_scale, max_scale = [cfg.DATA.TEST_CROP_SIZE] * 2
+            crop_size = cfg.DATA.TEST_CROP_SIZE
+
+        for retry in range(self._num_retries):
+            frames = decoder.decode(
+                self._path_to_videos[index],
+                cfg.DATA.SAMPLING_RATE,
+                cfg.DATA.NUM_FRAMES,
+                clip_idx=temporal_sample_index,
+                num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS if self.mode == "test" else 1,
+                target_fps=cfg.DATA.TARGET_FPS,
+                use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+            )
+            if frames is not None:
+                break
+            logger.warning(
+                "Failed to decode %s (try %d)", self._path_to_videos[index], retry
+            )
+            if retry >= 2:  # reference replaces with a random video after retries
+                index = random.randint(0, len(self) - 1)
+        else:
+            raise RuntimeError(
+                f"Failed to decode after {self._num_retries} retries"
+            )
+
+        frames = transform.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
+        frames = transform.spatial_sampling(
+            frames,
+            spatial_idx=spatial_sample_index,
+            min_scale=min_scale,
+            max_scale=max_scale,
+            crop_size=crop_size,
+            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+        )
+        frames = np.ascontiguousarray(frames, dtype=np.float32)
+        label = self._labels[index]
+        if cfg.DATA.DUMMY_LOAD and self._dummy_cache is None:
+            self._dummy_cache = (frames, label)
+        return {"frames": frames, "label": label, "index": index}

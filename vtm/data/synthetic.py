@@ -1,0 +1,54 @@
+"""Synthetic video dataset for smoke tests and benchmarks (the
+reference's analog is DATA.DUMMY_LOAD + model_benchmark's random
+inputs, slowfast/utils/model_benchmark.py:36)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vtm.data.loader import register_dataset
+
+
+@register_dataset("synthetic")
+class Synthetic:
+    """Deterministic random clips: labels derived from the seed so eval
+    metrics are reproducible."""
+
+    def __init__(self, cfg, mode: str):
+        self.cfg = cfg
+        self.mode = mode
+        if mode in ("train", "val"):
+            self._num_clips = 1
+            self._num_videos = 16
+        else:
+            self._num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+            self._num_videos = max(4, cfg.TEST.BATCH_SIZE)
+        self.num_classes = (
+            cfg.MODEL.NUM_CLASSES
+            if cfg.EPICKITCHENS.NUM_CLASSES is None
+            else tuple(cfg.EPICKITCHENS.NUM_CLASSES)
+        )
+
+    def __len__(self):
+        return self._num_videos * self._num_clips
+
+    def __getitem__(self, index: int) -> dict:
+        cfg = self.cfg
+        vid = index // self._num_clips
+        rng = np.random.default_rng(vid)
+        size = cfg.DATA.TEST_CROP_SIZE if self.mode == "test" else cfg.DATA.TRAIN_CROP_SIZE
+        frames = rng.standard_normal(
+            (cfg.DATA.NUM_FRAMES, size, size, 3)
+        ).astype(np.float32)
+        if isinstance(self.num_classes, (tuple, list)):
+            label = {
+                "verb": vid % self.num_classes[0],
+                "noun": vid % self.num_classes[1],
+            }
+            return {
+                "frames": frames,
+                "label": label,
+                "index": index,
+                "metadata": {"narration_id": f"synthetic_{vid}"},
+            }
+        return {"frames": frames, "label": vid % self.num_classes, "index": index}

@@ -1,0 +1,319 @@
+"""Test/train meters (reference: slowfast/utils/meters.py).
+
+``TestMeter`` accumulates multi-view clip predictions into per-video
+ensembles (sum or max — reference meters.py:324-359) and finalises
+top-k numbers with the clip-count completeness check (meters.py:401-409).
+``EPICTestMeter`` keeps the verb/noun pair and reports verb/noun/action
+top-1/5 (meters.py:1344-1508). Stats are numpy host-side.
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections import deque
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from vtm.eval import metrics
+from vtm.utils.logging import get_logger, log_json_stats
+from vtm.utils.timer import Timer
+
+logger = get_logger(__name__)
+
+
+class TestMeter:
+    def __init__(
+        self,
+        num_videos: int,
+        num_clips: int,
+        num_cls: int,
+        overall_iters: int,
+        multi_view_ensemble_method: str = "sum",
+    ):
+        self.num_clips = num_clips
+        self.overall_iters = overall_iters
+        self.ensemble_method = multi_view_ensemble_method
+        self.video_preds = np.zeros((num_videos, num_cls), dtype=np.float64)
+        self.video_labels = np.zeros((num_videos,), dtype=np.int64)
+        self.clip_count = np.zeros((num_videos,), dtype=np.int64)
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.stats: Dict[str, object] = {}
+
+    def reset(self):
+        self.video_preds[:] = 0
+        self.video_labels[:] = 0
+        self.clip_count[:] = 0
+
+    def update_stats(self, preds: np.ndarray, labels: np.ndarray, clip_ids: np.ndarray):
+        """preds [N, C]; clip_ids are global clip indices — video index
+        = clip_id // num_clips (reference meters.py:324-359)."""
+        for i in range(preds.shape[0]):
+            vid_id = int(clip_ids[i]) // self.num_clips
+            if self.clip_count[vid_id] > 0:
+                assert self.video_labels[vid_id] == int(labels[i])
+            self.video_labels[vid_id] = int(labels[i])
+            if self.ensemble_method == "sum":
+                self.video_preds[vid_id] += preds[i]
+            elif self.ensemble_method == "max":
+                self.video_preds[vid_id] = np.maximum(self.video_preds[vid_id], preds[i])
+            else:
+                raise NotImplementedError(self.ensemble_method)
+            self.clip_count[vid_id] += 1
+
+    def log_iter_stats(self, cur_iter: int):
+        eta_sec = self.iter_timer.seconds() * (self.overall_iters - cur_iter)
+        stats = {
+            "split": "test_iter",
+            "cur_iter": f"{cur_iter + 1}",
+            "eta": str(datetime.timedelta(seconds=int(eta_sec))),
+            "time_diff": self.iter_timer.seconds(),
+        }
+        log_json_stats(stats, logger)
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+        self.data_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+        self.net_timer.pause()
+
+    def data_toc(self):
+        self.data_timer.pause()
+        self.net_timer.reset()
+
+    def finalize_metrics(self, ks=(1, 5)) -> Dict[str, object]:
+        if not np.all(self.clip_count == self.num_clips):
+            logger.warning(
+                "clip count %s ~= num clips %s",
+                ", ".join(
+                    f"{i}: {c}"
+                    for i, c in enumerate(self.clip_count)
+                    if c != self.num_clips
+                ),
+                self.num_clips,
+            )
+        stats = {"split": "test_final"}
+        num_topks = metrics.topks_correct(self.video_preds, self.video_labels, ks)
+        topks = [x / self.video_preds.shape[0] * 100.0 for x in num_topks]
+        for k, topk in zip(ks, topks):
+            stats[f"top{k}_acc"] = f"{topk:.2f}"
+        log_json_stats(stats, logger)
+        self.stats = stats
+        return stats
+
+
+class EPICTestMeter:
+    """Verb/noun/action multi-view ensembling (reference meters.py:1344-1508)."""
+
+    def __init__(
+        self,
+        num_videos: int,
+        num_clips: int,
+        num_cls: Tuple[int, int],
+        overall_iters: int,
+        multi_view_ensemble_method: str = "sum",
+    ):
+        self.num_clips = num_clips
+        self.overall_iters = overall_iters
+        self.ensemble_method = multi_view_ensemble_method
+        self.verb_preds = np.zeros((num_videos, num_cls[0]), dtype=np.float64)
+        self.noun_preds = np.zeros((num_videos, num_cls[1]), dtype=np.float64)
+        self.verb_labels = np.zeros((num_videos,), dtype=np.int64)
+        self.noun_labels = np.zeros((num_videos,), dtype=np.int64)
+        self.metadata = np.empty(num_videos, dtype=object)
+        self.clip_count = np.zeros((num_videos,), dtype=np.int64)
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.stats: Dict[str, object] = {}
+
+    def reset(self):
+        self.verb_preds[:] = 0
+        self.noun_preds[:] = 0
+        self.clip_count[:] = 0
+
+    def update_stats(self, preds, labels, metadata, clip_ids):
+        verb_p, noun_p = preds
+        verb_l, noun_l = labels
+        for i in range(verb_p.shape[0]):
+            vid_id = int(clip_ids[i]) // self.num_clips
+            self.verb_labels[vid_id] = int(verb_l[i])
+            self.noun_labels[vid_id] = int(noun_l[i])
+            if metadata is not None:
+                self.metadata[vid_id] = metadata[i]
+            if self.ensemble_method == "sum":
+                self.verb_preds[vid_id] += verb_p[i]
+                self.noun_preds[vid_id] += noun_p[i]
+            else:
+                self.verb_preds[vid_id] = np.maximum(self.verb_preds[vid_id], verb_p[i])
+                self.noun_preds[vid_id] = np.maximum(self.noun_preds[vid_id], noun_p[i])
+            self.clip_count[vid_id] += 1
+
+    iter_tic = TestMeter.iter_tic
+    iter_toc = TestMeter.iter_toc
+    data_toc = TestMeter.data_toc
+    log_iter_stats = TestMeter.log_iter_stats
+
+    def finalize_metrics(self, ks=(1, 5)) -> Dict[str, object]:
+        if not np.all(self.clip_count == self.num_clips):
+            logger.warning("incomplete clip counts at finalize")
+        stats = {"split": "test_final"}
+        verb_topks = metrics.topk_accuracies(self.verb_preds, self.verb_labels, ks)
+        noun_topks = metrics.topk_accuracies(self.noun_preds, self.noun_labels, ks)
+        action_topks = metrics.multitask_topk_accuracies(
+            (self.verb_preds, self.noun_preds), (self.verb_labels, self.noun_labels), ks
+        )
+        for k, v, n, a in zip(ks, verb_topks, noun_topks, action_topks):
+            stats[f"verb_top{k}_acc"] = f"{v:.2f}"
+            stats[f"noun_top{k}_acc"] = f"{n:.2f}"
+            stats[f"action_top{k}_acc"] = f"{a:.2f}"
+        log_json_stats(stats, logger)
+        self.stats = stats
+        return stats
+
+
+class ScalarMeter:
+    """Windowed scalar tracking (reference meters.py ScalarMeter)."""
+
+    def __init__(self, window_size: int = 10):
+        self.deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+
+    def reset(self):
+        self.deque.clear()
+        self.total = 0.0
+        self.count = 0
+
+    def add_value(self, value: float):
+        self.deque.append(value)
+        self.count += 1
+        self.total += value
+
+    def get_win_median(self) -> float:
+        return float(np.median(self.deque)) if self.deque else 0.0
+
+    def get_win_avg(self) -> float:
+        return float(np.mean(self.deque)) if self.deque else 0.0
+
+    def get_global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+
+class TrainMeter:
+    """Training progress meter (reference meters.py TrainMeter)."""
+
+    def __init__(self, epoch_iters: int, cfg):
+        self.cfg = cfg
+        self.epoch_iters = epoch_iters
+        self.max_iter = cfg.SOLVER.MAX_EPOCH * epoch_iters
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.loss_total = 0.0
+        self.lr = None
+        self.num_top1_mis = 0
+        self.num_top5_mis = 0
+        self.num_samples = 0
+
+    def reset(self):
+        self.loss.reset()
+        self.loss_total = 0.0
+        self.num_top1_mis = 0
+        self.num_top5_mis = 0
+        self.num_samples = 0
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+        self.data_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+        self.net_timer.pause()
+
+    def data_toc(self):
+        self.data_timer.pause()
+        self.net_timer.reset()
+
+    def update_stats(self, top1_err, top5_err, loss, lr, mb_size):
+        self.loss.add_value(loss)
+        self.lr = lr
+        self.loss_total += loss * mb_size
+        self.num_top1_mis += top1_err * mb_size
+        self.num_top5_mis += top5_err * mb_size
+        self.num_samples += mb_size
+
+    def log_epoch_stats(self, cur_epoch: int):
+        if self.num_samples == 0:
+            return
+        stats = {
+            "split": "train_epoch",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "loss": self.loss_total / self.num_samples,
+            "top1_err": self.num_top1_mis / self.num_samples,
+            "top5_err": self.num_top5_mis / self.num_samples,
+            "lr": self.lr,
+        }
+        log_json_stats(stats, logger)
+
+    def log_iter_stats(self, cur_epoch: int, cur_iter: int):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        stats = {
+            "split": "train_iter",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "iter": f"{cur_iter + 1}/{self.epoch_iters}",
+            "loss": self.loss.get_win_median(),
+            "lr": self.lr,
+            "time_diff": self.iter_timer.seconds(),
+        }
+        log_json_stats(stats, logger)
+
+
+class ValMeter:
+    """Validation meter (reference meters.py ValMeter)."""
+
+    def __init__(self, max_iter: int, cfg):
+        self.cfg = cfg
+        self.max_iter = max_iter
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.num_top1_mis = 0
+        self.num_top5_mis = 0
+        self.num_samples = 0
+        self.min_top1_err = 100.0
+
+    def reset(self):
+        self.num_top1_mis = 0
+        self.num_top5_mis = 0
+        self.num_samples = 0
+
+    iter_tic = TrainMeter.iter_tic
+    iter_toc = TrainMeter.iter_toc
+    data_toc = TrainMeter.data_toc
+
+    def update_stats(self, top1_err, top5_err, mb_size):
+        self.num_top1_mis += top1_err * mb_size
+        self.num_top5_mis += top5_err * mb_size
+        self.num_samples += mb_size
+
+    def log_epoch_stats(self, cur_epoch: int):
+        if self.num_samples == 0:
+            return {}
+        top1 = self.num_top1_mis / self.num_samples
+        self.min_top1_err = min(self.min_top1_err, top1)
+        stats = {
+            "split": "val_epoch",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "top1_err": top1,
+            "top5_err": self.num_top5_mis / self.num_samples,
+            "min_top1_err": self.min_top1_err,
+        }
+        log_json_stats(stats, logger)
+        return stats

@@ -55,6 +55,26 @@ def compute_dtype(cfg) -> jnp.dtype:
     }[cfg.TPU.COMPUTE_DTYPE]
 
 
+def duplication_plan(cfg, depth: int):
+    """Layer-duplication execution schedule, or None when disabled.
+
+    Reference semantics (tools/test_net.py:273-281 +
+    tome/patch/*.apply_duplicate_patch): layer L is executed
+    LAYER_QUANTITY times. For ViViT/VideoMAE the first Q-1 executions
+    are truncated metric+reduction-only passes (ToMeDuplicate* blocks,
+    vivit.py:50-66 / videomae.py:33-44); TimeSformer/Motionformer
+    re-run the full shared-weight block each time
+    (timesformer.py:170-172). Returns [(layer_idx, metric_only), ...].
+    """
+    if not cfg.TOME.ENABLE or cfg.TOME.LAYER_QUANTITY <= 1:
+        return None
+    L, q = cfg.TOME.LAYER_TO_DUPLICATE, cfg.TOME.LAYER_QUANTITY
+    plan = [(i, False) for i in range(L)]
+    plan += [(L, True)] * (q - 1) + [(L, False)]
+    plan += [(i, False) for i in range(L + 1, depth)]
+    return tuple(plan)
+
+
 def make_policy(cfg, depth: int, n_protected_class_token: bool) -> MergePolicy:
     """Build the MergePolicy from TOME.* config keys, replicating the
     driver-side patching logic (tools/test_net.py:259-283)."""
@@ -62,8 +82,18 @@ def make_policy(cfg, depth: int, n_protected_class_token: bool) -> MergePolicy:
 
     if not cfg.TOME.ENABLE:
         return MergePolicy(rs=(0,) * depth, mode="none")
-    r = (cfg.TOME.R_VALUE, cfg.TOME.SCHEDULE) if cfg.TOME.SCHEDULE else cfg.TOME.R_VALUE
-    rs = tuple(parse_r(depth, r))
+    if cfg.TOME.LAYER_QUANTITY > 1:
+        # duplication r-schedule [0]*L + [R]*Q + [0]*(depth-1-L)
+        # (reference test_net.py:274,280 — hardcoded depth 12 there)
+        L, q = cfg.TOME.LAYER_TO_DUPLICATE, cfg.TOME.LAYER_QUANTITY
+        rs = tuple([0] * L + [cfg.TOME.R_VALUE] * q + [0] * (depth - 1 - L))
+    else:
+        r = (
+            (cfg.TOME.R_VALUE, cfg.TOME.SCHEDULE)
+            if cfg.TOME.SCHEDULE
+            else cfg.TOME.R_VALUE
+        )
+        rs = tuple(parse_r(depth, r))
     return MergePolicy(
         rs=rs,
         mode=cfg.TOME.MODE,

@@ -1,6 +1,336 @@
-"""Motionformer — trajectory-attention ViT (placeholder).
+"""Motionformer — trajectory-attention ViT, TPU-native.
 
-Full implementation lands in a later milestone; parity targets:
-slowfast/models/motionformer_video_model_builder.py +
-motionformer_vit_helper.py + tome/patch/motionformer.py.
+Parity targets: slowfast/models/motionformer_video_model_builder.py
+(Motionformer:25-283), motionformer_vit_helper.py (TrajectoryAttention:
+146-267, JointSpaceTimeAttention:41-73, Block:286-318) and
+tome/patch/motionformer.py (ToMeTrajectoryAttention:33-144,
+per-frame reduction fns:147-227).
+
+Layout notes (kept bit-compatible with the reference, quirks included):
+  * the body sequence is FRAME-major ``(f n)`` — produced by the 3D
+    patch embed and the separate pos-embed tiling
+    (motionformer_video_model_builder.py:236-246);
+  * trajectory attention treats keys as ``(f n)`` for the per-frame
+    softmax (helper:242-247), **but** the ToMe patch folds the same
+    sequence with the ``(s f)`` pattern for the matching metric, the
+    per-"frame" merging, and the proportional-attention size vector
+    (tome/patch/motionformer.py:109,143,151). We replicate that
+    inconsistency exactly — it is what produced the paper's numbers;
+  * ``use_original_code=True`` replicates the original v=x typo in the
+    second (temporal) attention (helper:160-164,130-134);
+  * at inference the head applies softmax (builder:275-282) — multi-view
+    ensembling therefore sums probabilities for this model.
 """
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vtm.merge.policy import MergePolicy, MergeState, reduce_tokens
+from vtm.models.build import ModelBundle, compute_dtype, duplication_plan, make_policy, register_model
+from vtm.models.common import LayerNorm, Mlp, merge_heads, split_heads
+from vtm.models.timesformer import _fold_space, _unfold_space
+
+
+@dataclasses.dataclass(frozen=True)
+class MotionformerConfig:
+    img_size: int = 224
+    patch_size: int = 16
+    patch_size_temp: int = 2
+    in_chans: int = 3
+    num_classes: Union[int, Tuple[int, int]] = 400
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    temporal_resolution: int = 8  # frames AFTER temporal patching
+    use_mlp: bool = False
+    head_act: str = "tanh"
+    pos_embed_type: str = "separate"  # separate | joint
+    attn_layer: str = "trajectory"  # trajectory | joint
+    use_original_code: bool = True
+    approx_attn_type: str = "none"
+    approx_attn_dim: int = 128
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def spatial_tokens(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def multi_head(self) -> bool:
+        return isinstance(self.num_classes, (tuple, list))
+
+
+class TrajectoryAttention(nn.Module):
+    """Full-attention trajectory attention returning
+    (out, metric or None). ``size`` is the per-pseudo-frame token size
+    [(B*F), S, 1] (None disables proportional attention)."""
+
+    config: MotionformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int, size=None, with_metric: bool = True):
+        c = self.config
+        if c.approx_attn_type != "none":
+            raise NotImplementedError(
+                f"approx attention {c.approx_attn_type!r} not implemented on TPU yet"
+            )
+        b, n, d = x.shape
+        h = c.num_heads
+        hd = d // h
+        f = num_frames
+        s = (n - 1) // f  # spatial tokens per frame
+        scale = hd ** -0.5
+
+        qkv = nn.Dense(d * 3, use_bias=c.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (split_heads(z, h) for z in (q, k, v))  # [B, h, N, hd]
+
+        # CLS attends over everything incl. itself (helper:176-179)
+        cls_logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q[:, :, :1] * scale, k, preferred_element_type=jnp.float32
+        )
+        cls_attn = nn.softmax(cls_logits, axis=-1).astype(v.dtype)
+        cls_out = jnp.einsum("bhqk,bhkd->bhqd", cls_attn, v)
+        cls_out = merge_heads(cls_out)  # [B, 1, D]
+
+        q_, k_, v_ = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
+        # spatial attention per actual frame (keys grouped (f n))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q_, k_, preferred_element_type=jnp.float32
+        ) * scale
+        if size is not None:
+            # size [(B*F), S, 1] -> flat (s f) over the body (patch quirk,
+            # tome/patch/motionformer.py:109-110)
+            size_flat = _unfold_space(size, b, f)[:, :, 0]  # [B, N-1]
+            logits = logits + jnp.log(size_flat)[:, None, None, :].astype(jnp.float32)
+        logits = logits.reshape(b, h, n - 1, f, s)
+        attn = nn.softmax(logits, axis=-1).astype(v.dtype)
+        v_f = v_.reshape(b, h, f, s, hd)
+        xfa = jnp.einsum("bhqfn,bhfnd->bhqfd", attn, v_f)  # [B,h,N',F,hd]
+
+        # trajectory (temporal) attention; query = own-frame diagonal
+        xq = jnp.transpose(xfa, (0, 2, 3, 1, 4)).reshape(b, n - 1, f, d)
+        frame_of = jnp.arange(n - 1) // s  # body is (f n): token's own frame
+        x_diag = jnp.take_along_axis(xq, frame_of[None, :, None, None], axis=2)[:, :, 0, :]
+        q2 = nn.Dense(d, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_q")(x_diag)
+        kv2 = nn.Dense(d * 2, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_kv")(xq)
+        k2, v2 = jnp.split(kv2, 2, axis=-1)
+        q2 = split_heads(q2, h) * scale  # [B,h,N',hd]
+        k2 = k2.reshape(b, n - 1, f, h, hd).transpose(0, 3, 1, 2, 4)
+        v2 = v2.reshape(b, n - 1, f, h, hd).transpose(0, 3, 1, 2, 4)
+        logits2 = jnp.einsum(
+            "bhsd,bhsfd->bhsf", q2, k2, preferred_element_type=jnp.float32
+        )
+        attn2 = nn.softmax(logits2, axis=-1).astype(v.dtype)
+        # use_original_code keeps the original v=x typo (helper:160-164):
+        # the temporal values are the aggregated x, not proj_kv's v
+        val2 = xfa if c.use_original_code else v2
+        out = jnp.einsum("bhsf,bhsfd->bhsd", attn2, val2)
+        out = merge_heads(out)  # [B, N', D]
+
+        out = jnp.concatenate([cls_out, out], axis=1)
+        out = nn.Dense(d, dtype=self.dtype, name="proj")(out)
+
+        if not with_metric:
+            return out, None
+        # metric: (s f) fold of the spatial keys, mean over heads
+        # (tome/patch/motionformer.py:143-144)
+        k_mean = k_.mean(axis=1)  # [B, N', hd_total? no: hd]... mean over heads AFTER fold
+        # reference folds per-head keys then means heads; fold is linear so
+        # mean-then-fold == fold-then-mean
+        metric = _fold_space(k_mean, b, f)  # [(B*F), S, hd]
+        return out, metric
+
+
+class JointAttention(nn.Module):
+    config: MotionformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int, size=None, with_metric: bool = True):
+        c = self.config
+        h = c.num_heads
+        qkv = nn.Dense(x.shape[-1] * 3, use_bias=c.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        q, k, v = (split_heads(z, h) for z in jnp.split(qkv, 3, axis=-1))
+        scale = (x.shape[-1] // h) ** -0.5
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
+        attn = nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = merge_heads(jnp.einsum("bhqk,bhkd->bhqd", attn, v))
+        out = nn.Dense(x.shape[-1], dtype=self.dtype, name="proj")(out)
+        metric = None
+        if with_metric:
+            metric = _fold_space(k.mean(axis=1)[:, 1:], x.shape[0], num_frames)
+        return out, metric
+
+
+class MotionformerBlock(nn.Module):
+    config: MotionformerConfig
+    policy: MergePolicy
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, state: MergeState, layer: int, num_frames: int):
+        c = self.config
+        attn_cls = {"trajectory": TrajectoryAttention, "joint": JointAttention}[
+            c.attn_layer
+        ]
+        attn_size = state.attn_size(self.policy.prop_attn)
+        out, metric = attn_cls(c, dtype=self.dtype, name="attn")(
+            LayerNorm(epsilon=c.layer_norm_eps, name="norm1")(x),
+            num_frames,
+            attn_size,
+        )
+        x = x + out
+
+        # per-(s f)-frame reduction (tome/patch/motionformer.py:147-170)
+        if self.policy.mode != "none" and self.policy.r_at(layer) > 0:
+            cls, body = x[:, 0:1, :], x[:, 1:, :]
+            folded = _fold_space(body, x.shape[0], num_frames)
+            folded, state = reduce_tokens(self.policy, layer, metric, folded, state)
+            x = jnp.concatenate(
+                [cls, _unfold_space(folded, x.shape[0], num_frames)], axis=1
+            )
+
+        x = x + Mlp(
+            int(c.embed_dim * c.mlp_ratio), c.embed_dim, dtype=self.dtype, name="mlp"
+        )(LayerNorm(epsilon=c.layer_norm_eps, name="norm2")(x))
+        return x, state
+
+
+class Motionformer(nn.Module):
+    """Input: [B, T, H, W, C] channels-last (T = raw frames; the 3D
+    patch embed reduces to temporal_resolution)."""
+
+    config: MotionformerConfig
+    policy: MergePolicy = MergePolicy()
+    dtype: jnp.dtype = jnp.float32
+    train_mode: bool = False  # inference applies softmax to logits
+    layer_schedule: Optional[Tuple[int, ...]] = None  # block indices to run
+
+    @nn.compact
+    def __call__(self, x, state: Optional[MergeState] = None, rng: Optional[jax.Array] = None):
+        c = self.config
+        if state is None:
+            state = MergeState(rng=rng)
+        b = x.shape[0]
+        x = x.astype(self.dtype)
+        if c.patch_size_temp > 1:
+            emb = nn.Conv(
+                c.embed_dim,
+                kernel_size=(c.patch_size_temp, c.patch_size, c.patch_size),
+                strides=(c.patch_size_temp, c.patch_size, c.patch_size),
+                padding="VALID",
+                dtype=self.dtype,
+                name="patch_embed_3d",
+            )(x)
+            emb = emb.reshape(b, -1, c.embed_dim)  # (f n) frame-major
+        else:
+            frames = x.reshape(b * x.shape[1], *x.shape[2:])
+            emb = nn.Conv(
+                c.embed_dim,
+                kernel_size=(c.patch_size, c.patch_size),
+                strides=(c.patch_size, c.patch_size),
+                padding="VALID",
+                dtype=self.dtype,
+                name="patch_embed",
+            )(frames)
+            emb = emb.reshape(b, -1, c.embed_dim)
+
+        npatch = c.spatial_tokens
+        f = c.temporal_resolution
+
+        cls_param = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, c.embed_dim)
+        )
+        cls = jnp.broadcast_to(cls_param.astype(emb.dtype), (b, 1, c.embed_dim))
+        x = jnp.concatenate([cls, emb], axis=1)
+
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, npatch + 1, c.embed_dim)
+        )
+        if c.pos_embed_type == "separate":
+            temp = self.param(
+                "temp_embed", nn.initializers.zeros, (1, f, c.embed_dim)
+            )
+            tile_pos = jnp.tile(pos[:, 1:, :], (1, f, 1))
+            tile_temp = jnp.repeat(temp, npatch, axis=1)
+            total = jnp.concatenate([pos[:, :1, :], tile_pos + tile_temp], axis=1)
+            x = x + total.astype(x.dtype)
+        else:
+            st = self.param(
+                "st_embed",
+                nn.initializers.normal(0.02),
+                (1, npatch * f + 1, c.embed_dim),
+            )
+            x = x + st.astype(x.dtype)
+
+        schedule = self.layer_schedule or tuple(range(c.depth))
+        blocks = {}
+        for step, layer_idx in enumerate(schedule):
+            if layer_idx not in blocks:
+                blocks[layer_idx] = MotionformerBlock(
+                    c, self.policy, dtype=self.dtype, name=f"blocks_{layer_idx}"
+                )
+            x, state = blocks[layer_idx](x, state, layer=step, num_frames=f)
+
+        x = LayerNorm(epsilon=c.layer_norm_eps, name="norm")(x)
+        feats = x[:, 0]
+        if c.use_mlp:
+            feats = nn.Dense(c.embed_dim, dtype=self.dtype, name="pre_logits_fc")(feats)
+            feats = {"tanh": jnp.tanh, "gelu": nn.gelu, "relu": nn.relu}[c.head_act](feats)
+
+        def _head(name, n):
+            logits = nn.Dense(n, dtype=jnp.float32, name=name)(feats)
+            return logits if self.train_mode else nn.softmax(logits, axis=-1)
+
+        if c.multi_head:
+            logits = tuple(_head(f"head{i}", n) for i, n in enumerate(c.num_classes))
+        else:
+            logits = _head("head", c.num_classes)
+        return logits, state
+
+
+@register_model("Motionformer")
+def _build_motionformer(cfg) -> ModelBundle:
+    num_classes = (
+        cfg.MODEL.NUM_CLASSES
+        if cfg.EPICKITCHENS.NUM_CLASSES is None
+        else tuple(cfg.EPICKITCHENS.NUM_CLASSES)
+    )
+    config = MotionformerConfig(
+        img_size=cfg.DATA.TRAIN_CROP_SIZE,
+        patch_size=cfg.MOTIONFORMER.PATCH_SIZE,
+        patch_size_temp=cfg.MOTIONFORMER.PATCH_SIZE_TEMP,
+        in_chans=cfg.MOTIONFORMER.CHANNELS,
+        num_classes=num_classes,
+        embed_dim=cfg.MOTIONFORMER.EMBED_DIM,
+        depth=cfg.MOTIONFORMER.DEPTH,
+        num_heads=cfg.MOTIONFORMER.NUM_HEADS,
+        mlp_ratio=float(cfg.MOTIONFORMER.MLP_RATIO),
+        qkv_bias=cfg.MOTIONFORMER.QKV_BIAS,
+        temporal_resolution=cfg.MOTIONFORMER.TEMPORAL_RESOLUTION,
+        use_mlp=cfg.MOTIONFORMER.USE_MLP,
+        head_act=cfg.MOTIONFORMER.HEAD_ACT,
+        pos_embed_type=cfg.MOTIONFORMER.POS_EMBED,
+        attn_layer=cfg.MOTIONFORMER.ATTN_LAYER,
+        use_original_code=cfg.MOTIONFORMER.USE_ORIGINAL_TRAJ_ATTN_CODE,
+        approx_attn_type=cfg.MOTIONFORMER.APPROX_ATTN_TYPE,
+        approx_attn_dim=cfg.MOTIONFORMER.APPROX_ATTN_DIM,
+    )
+    policy = make_policy(cfg, config.depth, n_protected_class_token=False)
+    # full-block shared-weight duplication (reference motionformer.py:230-232)
+    plan = duplication_plan(cfg, config.depth)
+    schedule = tuple(idx for idx, _ in plan) if plan is not None else None
+    module = Motionformer(
+        config=config, policy=policy, dtype=compute_dtype(cfg), layer_schedule=schedule
+    )
+    return ModelBundle(module=module, params=None, config=config, policy=policy, name="Motionformer")

@@ -214,7 +214,12 @@ def build_videomae(cfg, policy: Optional[MergePolicy] = None, dtype=jnp.float32)
         if cfg.EPICKITCHENS.NUM_CLASSES is None
         else tuple(cfg.EPICKITCHENS.NUM_CLASSES)
     )
+    # variant names pin img_size for the 384/512 models (reference
+    # builder:367-380); otherwise follow the configured crop size so the
+    # sin-cos pos table matches the actual input resolution.
+    img_size = variant.pop("img_size", cfg.DATA.TRAIN_CROP_SIZE)
     config = VideoMAEConfig(
+        img_size=img_size,
         num_classes=num_classes,
         num_frames=cfg.DATA.NUM_FRAMES,
         tubelet_size=cfg.VIDEOMAE.TUBELET_SIZE,
@@ -228,7 +233,7 @@ def build_videomae(cfg, policy: Optional[MergePolicy] = None, dtype=jnp.float32)
     return VideoMAE(config=config, policy=policy or MergePolicy(), dtype=dtype)
 
 
-from vtm.models.build import ModelBundle, compute_dtype, make_policy, register_model  # noqa: E402
+from vtm.models.build import ModelBundle, compute_dtype, duplication_plan, make_policy, register_model  # noqa: E402
 
 
 @register_model("VideoMAE")
@@ -242,4 +247,12 @@ def _build_videomae_bundle(cfg) -> ModelBundle:
     if len(policy.rs) != depth:
         policy = make_policy(cfg, depth, n_protected_class_token=False)
         module = build_videomae(cfg, policy=policy, dtype=compute_dtype(cfg))
+    plan = duplication_plan(cfg, depth)
+    if plan is not None:
+        module = VideoMAE(
+            config=module.config,
+            policy=policy,
+            dtype=compute_dtype(cfg),
+            layer_schedule=plan,
+        )
     return ModelBundle(module=module, params=None, config=module.config, policy=policy, name="VideoMAE")

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vtm.merge.policy import MergePolicy, MergeState, reduce_tokens
-from vtm.models.build import ModelBundle, compute_dtype, make_policy, register_model
+from vtm.models.build import ModelBundle, compute_dtype, duplication_plan, make_policy, register_model
 from vtm.models.common import (
     LayerNorm,
     aggregate_metric,
@@ -191,5 +191,8 @@ def _build_vivit(cfg) -> ModelBundle:
     )
     config = ViViTConfig.from_json(cfg.VIVIT.CONFIG_PATH, num_classes)
     policy = make_policy(cfg, config.num_hidden_layers, n_protected_class_token=True)
-    module = ViViT(config=config, policy=policy, dtype=compute_dtype(cfg))
+    plan = duplication_plan(cfg, config.num_hidden_layers)
+    module = ViViT(
+        config=config, policy=policy, dtype=compute_dtype(cfg), layer_schedule=plan
+    )
     return ModelBundle(module=module, params=None, config=config, policy=policy, name="ViViT")

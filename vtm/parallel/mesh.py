@@ -1,0 +1,75 @@
+"""Device-mesh parallelism.
+
+Replaces the reference's DDP/NCCL stack (slowfast/utils/distributed.py,
+multiprocessing.py; SURVEY.md §2.5) with single-controller JAX:
+
+  * reference ``torch.multiprocessing.spawn`` + process groups
+    -> one process, a ``jax.sharding.Mesh`` over all devices;
+  * reference DDP gradient all-reduce -> automatic ``psum`` inserted by
+    XLA when the batch axis is sharded and params are replicated;
+  * reference ``du.all_gather`` of predictions -> outputs stay sharded
+    on device and are gathered by ``jax.device_get`` at the host, or
+    ensembled on device (vtm/eval/meters.py).
+
+The mesh currently has a single ``data`` axis (the reference's only
+parallelism is data parallel — SURVEY.md §5 long-context note); the
+axis layout leaves room for a future ``model``/``seq`` axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if len(axis_names) == 1:
+        arr = np.array(devices)
+    else:
+        raise NotImplementedError("only a 1-D data mesh is defined for this model family")
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def shard_batch(mesh: Mesh, tree, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along the leading axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_parallel_apply(mesh: Mesh, fn):
+    """jit ``fn(params, batch)`` with params replicated and batch sharded
+    on the data axis; XLA inserts the collectives."""
+    return jax.jit(
+        fn,
+        in_shardings=(replicated_sharding(mesh), batch_sharding(mesh)),
+        out_shardings=None,
+    )
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int):
+    """Pad the leading axis up to a multiple (uneven final eval batches
+    can't shard across the mesh otherwise). Returns (padded, n_valid)."""
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = np.repeat(x[:1], rem, axis=0)
+    return np.concatenate([x, pad], axis=0), n

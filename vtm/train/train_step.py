@@ -1,0 +1,59 @@
+"""Training-step construction: loss + grad + optax update, data-parallel.
+
+Replaces the reference's train_epoch inner loop mechanics
+(tools/train_net.py:35-193): autocast -> bf16 module dtype; GradScaler
+-> unnecessary (bf16 needs no loss scaling); DDP allreduce -> XLA psum
+from sharded-batch/replicated-params jit; ACCUMULATE_STEPS -> optax
+MultiSteps.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import optax
+
+from vtm.parallel.mesh import batch_sharding, replicated_sharding
+from vtm.train import losses as loss_lib
+
+
+def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None):
+    base_loss = loss_lib.get_loss_func(loss_name)
+
+    def step(params, opt_state, frames, labels, rngs: Optional[jax.Array] = None):
+        def loss_fn(p):
+            logits, _ = module.apply({"params": p}, frames, rng=rngs)
+            if multi_head:
+                loss = loss_lib.epic_dual_loss(base_loss, logits, labels)
+            else:
+                loss = base_loss(logits, labels)
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss, logits
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    label_shard = {"verb": dat, "noun": dat} if multi_head else dat
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, dat, label_shard, rep),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_eval_step(module, mesh=None):
+    def step(params, frames):
+        logits, _ = module.apply({"params": params}, frames)
+        return logits
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, dat))

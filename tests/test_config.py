@@ -2,6 +2,8 @@
 
 import pathlib
 
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
 import pytest
 
 from vtm.config import get_cfg, assert_and_infer_cfg
@@ -59,3 +61,19 @@ def test_clone_is_independent():
     c2 = cfg.clone()
     c2.TOME.R_VALUE = 99
     assert cfg.TOME.R_VALUE == 0
+
+
+SHIPPED = sorted(
+    p.relative_to(REPO / "configs").as_posix()
+    for p in (REPO / "configs").rglob("*.yaml")
+)
+
+
+@pytest.mark.parametrize("rel", SHIPPED)
+def test_shipped_configs_valid(rel):
+    """Every shipped config must merge cleanly (no unknown keys) and
+    pass validation."""
+    cfg = get_cfg()
+    cfg.merge_from_file(str(REPO / "configs" / rel))
+    assert_and_infer_cfg(cfg)
+    assert cfg.MODEL.MODEL_NAME in ("VideoMAE", "ViViT", "TimeSformer", "Motionformer")

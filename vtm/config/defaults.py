@@ -57,6 +57,8 @@ def get_cfg() -> CfgNode:
     _C.DATA.STD = [0.225, 0.225, 0.225]
     _C.DATA.INPUT_CHANNEL_NUM = [3]
     _C.DATA.TRAIN_JITTER_SCALES = [256, 320]
+    _C.DATA.TRAIN_JITTER_SCALES_RELATIVE = []
+    _C.DATA.TRAIN_JITTER_ASPECT_RELATIVE = []
     _C.DATA.TRAIN_CROP_SIZE = 224
     _C.DATA.TEST_CROP_SIZE = 256
     _C.DATA.TARGET_FPS = 30

@@ -1,0 +1,102 @@
+"""MixUp, TensorBoard writer, wandb gating, and an end-to-end tiny
+train() run exercising them."""
+
+import json
+
+import numpy as np
+
+from vtm.config import assert_and_infer_cfg, get_cfg
+from vtm.train.mixup import MixUp, one_hot
+from vtm.vis.tensorboard_vis import get_confusion_matrix
+
+
+def test_one_hot_smoothing():
+    m = MixUp(label_smoothing=0.1, num_classes=4, mix_prob=0.0)
+    frames = np.zeros((2, 2, 4, 4, 3), np.float32)
+    _, targets = m(frames, np.array([1, 3]))
+    np.testing.assert_allclose(targets.sum(axis=1), 1.0, rtol=1e-6)
+    assert targets[0].argmax() == 1 and targets[1].argmax() == 3
+    assert np.isclose(targets[0, 0], 0.1 / 4)
+
+
+def test_mixup_convexity():
+    m = MixUp(mixup_alpha=0.8, cutmix_alpha=0.0, mix_prob=1.0,
+              label_smoothing=0.0, num_classes=3, seed=0)
+    frames = np.stack([np.zeros((2, 4, 4, 3)), np.ones((2, 4, 4, 3))]).astype(np.float32)
+    mixed, targets = m(frames, np.array([0, 2]))
+    # mixed frames stay within [0,1]; targets rows sum to 1
+    assert mixed.min() >= 0.0 and mixed.max() <= 1.0
+    np.testing.assert_allclose(targets.sum(axis=1), 1.0, rtol=1e-6)
+    # both batch elements mix the same lambda: mixed[0]+mixed[1]==1
+    np.testing.assert_allclose(mixed[0] + mixed[1], 1.0, rtol=1e-5)
+
+
+def test_cutmix_box_replaces_region():
+    m = MixUp(mixup_alpha=0.0, cutmix_alpha=1.0, mix_prob=1.0, switch_prob=1.0,
+              label_smoothing=0.0, num_classes=2, seed=3)
+    frames = np.stack(
+        [np.zeros((2, 8, 8, 3)), np.ones((2, 8, 8, 3))]
+    ).astype(np.float32)
+    mixed, targets = m(frames, np.array([0, 1]))
+    # values stay binary under cutmix (no blending)
+    assert set(np.unique(mixed)) <= {0.0, 1.0}
+    lam = targets[0, 0]
+    frac_donor = mixed[0].mean()
+    np.testing.assert_allclose(1.0 - frac_donor, lam, atol=1e-6)
+
+
+def test_confusion_matrix():
+    preds = one_hot(np.array([0, 1, 1, 2]), 3, 1.0, 0.0)
+    labels = np.array([0, 1, 2, 2])
+    cm = get_confusion_matrix(preds, labels, 3)
+    np.testing.assert_allclose(cm[0], [1, 0, 0])
+    np.testing.assert_allclose(cm[1], [0, 1, 0])
+    np.testing.assert_allclose(cm[2], [0, 0.5, 0.5])
+
+
+def test_train_with_mixup_and_tensorboard(tmp_path):
+    from tools.train_net import train
+
+    d = {
+        "video_size": [4, 32, 32],
+        "tubelet_size": [2, 16, 16],
+        "num_channels": 3,
+        "hidden_size": 32,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 2,
+        "intermediate_size": 64,
+        "hidden_act": "gelu_fast",
+        "layer_norm_eps": 1e-6,
+        "qkv_bias": True,
+    }
+    p = tmp_path / "vivit.json"
+    p.write_text(json.dumps(d))
+    cfg = get_cfg()
+    cfg.merge_from_list([
+        "MODEL.MODEL_NAME", "ViViT",
+        "VIVIT.CONFIG_PATH", str(p),
+        "MODEL.NUM_CLASSES", "5",
+        "DATA.NUM_FRAMES", "4",
+        "DATA.TRAIN_CROP_SIZE", "32",
+        "DATA.TEST_CROP_SIZE", "32",
+        "TRAIN.DATASET", "synthetic",
+        "TRAIN.BATCH_SIZE", "8",
+        "SOLVER.MAX_EPOCH", "1",
+        "SOLVER.OPTIMIZING_METHOD", "sgd",
+        "TRAIN.EVAL_PERIOD", "10",
+        "TRAIN.CHECKPOINT_PERIOD", "10",
+        "MIXUP.ENABLE", "True",
+        "TENSORBOARD.ENABLE", "True",
+        "WANDB.ENABLE", "True",  # exercises the not-installed warning path
+        "TOME.ENABLE", "True",
+        "TOME.R_VALUE", "1",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "DATA_LOADER.NUM_WORKERS", "2",
+        "OUTPUT_DIR", str(tmp_path),
+    ])
+    assert_and_infer_cfg(cfg)
+    params = train(cfg)
+    assert params is not None
+    # tensorboard event files written
+    runs = list(tmp_path.glob("runs-*/events.out.tfevents.*"))
+    assert runs, "no tensorboard event files"

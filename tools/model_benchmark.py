@@ -21,6 +21,7 @@ from vtm.checkpoints.checkpoint import load_test_checkpoint  # noqa: E402
 from vtm.config import assert_and_infer_cfg, load_config, parse_args  # noqa: E402
 from vtm.models import build_model  # noqa: E402
 from vtm.parallel.mesh import make_mesh, replicate, shard_batch  # noqa: E402
+from vtm.utils import wandb_utils  # noqa: E402
 from vtm.utils.benchmark import chained_seconds  # noqa: E402
 from vtm.utils.env import setup_environment  # noqa: E402
 from vtm.utils.logging import get_logger, log_json_stats, setup_logging  # noqa: E402
@@ -57,12 +58,14 @@ def perform_benchmark(module, params, cfg, mesh) -> dict:
         "iterations": iters,
     }
     log_json_stats(stats, logger)
+    wandb_utils.log(stats)
     return stats
 
 
 def model_benchmark(cfg) -> dict:
     setup_environment()
     setup_logging(cfg.OUTPUT_DIR)
+    wandb_utils.init(cfg)
     bundle = build_model(cfg)
     bundle = load_test_checkpoint(cfg, bundle)
     mesh = make_mesh()

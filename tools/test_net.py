@@ -27,6 +27,7 @@ from vtm.eval.meters import EPICTestMeter, TestMeter  # noqa: E402
 from vtm.models import build_model  # noqa: E402
 from vtm.parallel.mesh import make_mesh, pad_to_multiple, replicate  # noqa: E402
 from vtm.train.train_step import make_eval_step  # noqa: E402
+from vtm.utils import wandb_utils  # noqa: E402
 from vtm.utils.env import setup_environment  # noqa: E402
 from vtm.utils.logging import get_logger, setup_logging  # noqa: E402
 
@@ -72,6 +73,12 @@ def test(cfg):
     views_list = cfg.TEST.NUM_TEMPORAL_CLIPS or [cfg.TEST.NUM_ENSEMBLE_VIEWS]
     if views_list == [-1]:
         views_list = [1, 3, 5, 7, 10]  # reference run_net.py:29-35 sweep
+    wandb_utils.init(cfg)
+    tb_writer = None
+    if cfg.TENSORBOARD.ENABLE:
+        from vtm.vis.tensorboard_vis import TensorboardWriter
+
+        tb_writer = TensorboardWriter(cfg)
     results = []
     for num_view in views_list:
         cfg.TEST.NUM_ENSEMBLE_VIEWS = num_view
@@ -105,6 +112,9 @@ def test(cfg):
         padded_bs = -(-cfg.TEST.BATCH_SIZE // n_dev) * n_dev
         stats = perform_test(loader, eval_step, params, meter, cfg, padded_bs)
         results.append((num_view, stats))
+        wandb_utils.log({"num_views": num_view, **{k: v for k, v in stats.items()}})
+        if tb_writer is not None and not isinstance(meter, EPICTestMeter):
+            tb_writer.plot_eval(meter.video_preds, meter.video_labels)
         if cfg.TEST.SAVE_RESULTS_PATH:
             with open(cfg.TEST.SAVE_RESULTS_PATH, "wb") as f:
                 if isinstance(meter, EPICTestMeter):
@@ -123,6 +133,9 @@ def test(cfg):
                     )
     for num_view, stats in results:
         logger.info("views=%d -> %s", num_view, stats)
+    if tb_writer is not None:
+        tb_writer.close()
+    wandb_utils.finish()
     return results
 
 

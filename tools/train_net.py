@@ -28,10 +28,13 @@ from vtm.eval.meters import TrainMeter, ValMeter  # noqa: E402
 from vtm.eval.metrics import topk_errors  # noqa: E402
 from vtm.models import build_model  # noqa: E402
 from vtm.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch  # noqa: E402
+from vtm.train.mixup import MixUp  # noqa: E402
 from vtm.train.optimizer import construct_optimizer  # noqa: E402
 from vtm.train.train_step import make_eval_step, make_train_step  # noqa: E402
+from vtm.utils import wandb_utils  # noqa: E402
 from vtm.utils.env import setup_environment  # noqa: E402
 from vtm.utils.logging import get_logger, setup_logging  # noqa: E402
+from vtm.vis.tensorboard_vis import TensorboardWriter  # noqa: E402
 
 logger = get_logger(__name__)
 
@@ -46,15 +49,23 @@ def _labels_of(batch, multi_head):
 
 
 def train_epoch(
-    loader, train_step, params, opt_state, lr_at, cur_epoch, meter, cfg, mesh, multi_head
+    loader, train_step, params, opt_state, lr_at, cur_epoch, meter, cfg, mesh,
+    multi_head, mixup_fn=None, tb_writer=None
 ):
     data_size = len(loader)
     meter.iter_tic()
     for cur_iter, batch in enumerate(loader):
         lr = lr_at(cur_epoch + float(cur_iter) / data_size)
         opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
-        frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
-        labels = _labels_of(batch, multi_head)
+        if mixup_fn is not None:
+            mixed, targets = mixup_fn(
+                np.asarray(batch["frames"]), np.asarray(batch["label"])
+            )
+            frames = shard_batch(mesh, jnp.asarray(mixed))
+            labels = jnp.asarray(targets)
+        else:
+            frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
+            labels = _labels_of(batch, multi_head)
         meter.data_toc()
         params, opt_state, loss, logits = train_step(
             params, opt_state, frames, labels, None
@@ -70,6 +81,11 @@ def train_epoch(
             )
         meter.iter_toc()
         meter.update_stats(top1_err, top5_err, loss, lr, batch["frames"].shape[0])
+        if tb_writer is not None:
+            tb_writer.add_scalars(
+                {"Train/loss": loss, "Train/lr": lr},
+                global_step=data_size * cur_epoch + cur_iter,
+            )
         meter.log_iter_stats(cur_epoch, cur_iter)
         meter.iter_tic()
     meter.log_epoch_stats(cur_epoch)
@@ -139,6 +155,20 @@ def train(cfg):
     train_meter = TrainMeter(len(train_loader), cfg)
     val_meter = ValMeter(len(val_loader), cfg)
 
+    mixup_fn = None
+    if cfg.MIXUP.ENABLE and not multi_head:
+        mixup_fn = MixUp(
+            mixup_alpha=cfg.MIXUP.ALPHA,
+            cutmix_alpha=cfg.MIXUP.CUTMIX_ALPHA,
+            mix_prob=cfg.MIXUP.PROB,
+            switch_prob=cfg.MIXUP.SWITCH_PROB,
+            label_smoothing=cfg.MIXUP.LABEL_SMOOTH_VALUE,
+            num_classes=cfg.MODEL.NUM_CLASSES,
+            seed=cfg.RNG_SEED,
+        )
+    tb_writer = TensorboardWriter(cfg) if cfg.TENSORBOARD.ENABLE else None
+    wandb_utils.init(cfg)
+
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
         params, opt_state = train_epoch(
@@ -152,11 +182,16 @@ def train(cfg):
             cfg,
             mesh,
             multi_head,
+            mixup_fn=mixup_fn,
+            tb_writer=tb_writer,
         )
         if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
             cu.save_checkpoint(cfg.OUTPUT_DIR, params, None, cur_epoch, cfg)
         if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
             eval_epoch(val_loader, eval_step, params, val_meter, cur_epoch, cfg, multi_head)
+    if tb_writer is not None:
+        tb_writer.close()
+    wandb_utils.finish()
     return params
 
 

@@ -203,13 +203,37 @@ def _gather(x: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.take_along_axis(x, idx[:, :, None], axis=1)
 
 
+def _one_hot(idx: jax.Array, depth: int, dtype) -> jax.Array:
+    """[B, r] int -> [B, r, depth] one-hot (vectorized compare; feeds
+    the MXU instead of a scatter)."""
+    iota = jnp.arange(depth, dtype=idx.dtype)
+    return (idx[:, :, None] == iota[None, None, :]).astype(dtype)
+
+
+def _scatter_sum_mm(dst: jax.Array, dst_idx: jax.Array, src: jax.Array) -> jax.Array:
+    """Segment-sum via one-hot matmul.
+
+    TPU-first: XLA lowers batched scatter-add with duplicate indices to
+    a serialized loop on TPU; an [r, tb] one-hot contraction runs on the
+    MXU instead (r,tb ~ hundreds: sub-millisecond). fp32 accumulation.
+    """
+    oh = _one_hot(dst_idx, dst.shape[1], src.dtype)  # [B, r, tb]
+    add = jax.lax.dot_general(
+        oh,
+        src,
+        (((1,), (1,)), ((0,), (0,))),  # [B, tb, C]
+        preferred_element_type=jnp.float32,
+    )
+    return dst + add.astype(dst.dtype)
+
+
 def _scatter(dst: jax.Array, dst_idx: jax.Array, src: jax.Array, mode: str) -> jax.Array:
     """Scatter-reduce ``src`` [B, r, C] into ``dst`` [B, tb, C] rows at
     ``dst_idx`` [B, r], including the original dst value in the
     reduction (torch ``scatter_reduce(include_self=True)`` semantics)."""
-    b = _batch_index(dst_idx)
     if mode == "sum":
-        return dst.at[b, dst_idx].add(src)
+        return _scatter_sum_mm(dst, dst_idx, src)
+    b = _batch_index(dst_idx)
     if mode in ("max", "amax"):
         return dst.at[b, dst_idx].max(src)
     if mode == "prod":
@@ -239,8 +263,14 @@ def merge(
         return x
     src, dst = x[:, ::2, :], x[:, 1::2, :]
     if threshold is not None:
-        keep = (m.src_score >= threshold).astype(dst.dtype)[:, :, None]
-        dst = _scatter(dst, m.dst_idx, jnp.broadcast_to(keep, (keep.shape[0], m.r, dst.shape[-1])), "prod")
+        # hybrid: zero every dst that receives >=1 sub-threshold edge
+        # (reference's scatter_reduce(prod) of the indicator,
+        # merge.py:326-330) — expressed as a one-hot contraction so the
+        # TPU path stays scatter-free.
+        below = (m.src_score < threshold).astype(jnp.float32)  # [B, r]
+        oh = _one_hot(m.dst_idx, dst.shape[1], jnp.float32)  # [B, r, tb]
+        hits = jnp.einsum("brt,br->bt", oh, below)
+        dst = dst * (hits == 0).astype(dst.dtype)[:, :, None]
     unm = _gather(src, m.unm_idx)
     src = _gather(src, m.src_idx)
     dst = _scatter(dst, m.dst_idx, src, mode)

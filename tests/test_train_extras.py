@@ -100,3 +100,31 @@ def test_train_with_mixup_and_tensorboard(tmp_path):
     # tensorboard event files written
     runs = list(tmp_path.glob("runs-*/events.out.tfevents.*"))
     assert runs, "no tensorboard event files"
+
+
+def test_train_epic_dual_head(tmp_path):
+    from tools.train_net import train
+
+    cfg = get_cfg()
+    cfg.merge_from_list([
+        "MODEL.MODEL_NAME", "VideoMAE",
+        "VIDEOMAE.MODEL", "vit_small_patch16_224",
+        "DATA.NUM_FRAMES", "4",
+        "DATA.TRAIN_CROP_SIZE", "32",
+        "DATA.TEST_CROP_SIZE", "32",
+        "TRAIN.DATASET", "synthetic",
+        "TRAIN.BATCH_SIZE", "8",
+        "TRAIN.EVAL_PERIOD", "1",
+        "TRAIN.CHECKPOINT_PERIOD", "10",
+        "SOLVER.MAX_EPOCH", "1",
+        "SOLVER.OPTIMIZING_METHOD", "adamw",
+        "TOME.ENABLE", "True",
+        "TOME.R_VALUE", "1",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "DATA_LOADER.NUM_WORKERS", "2",
+        "OUTPUT_DIR", str(tmp_path),
+    ])
+    cfg.EPICKITCHENS.NUM_CLASSES = [3, 5]
+    assert_and_infer_cfg(cfg)
+    params = train(cfg)
+    assert params is not None

@@ -84,6 +84,10 @@ def test(cfg):
         cfg.TEST.NUM_ENSEMBLE_VIEWS = num_view
         bundle = build_model(cfg)
         bundle = load_test_checkpoint(cfg, bundle)
+        if cfg.LOG_MODEL_INFO:
+            from vtm.utils.model_info import log_model_info
+
+            log_model_info(bundle, cfg)
 
         mesh = make_mesh()
         params = replicate(mesh, bundle.params)

@@ -24,8 +24,17 @@ import optax  # noqa: E402
 from vtm.checkpoints import checkpoint as cu  # noqa: E402
 from vtm.config import assert_and_infer_cfg, load_config, parse_args  # noqa: E402
 from vtm.data import construct_loader, shuffle_dataset  # noqa: E402
-from vtm.eval.meters import TrainMeter, ValMeter  # noqa: E402
-from vtm.eval.metrics import topk_errors  # noqa: E402
+from vtm.eval.meters import (  # noqa: E402
+    EPICTrainMeter,
+    EPICValMeter,
+    TrainMeter,
+    ValMeter,
+)
+from vtm.eval.metrics import (  # noqa: E402
+    multitask_topk_accuracies,
+    topk_accuracies,
+    topk_errors,
+)
 from vtm.models import build_model  # noqa: E402
 from vtm.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch  # noqa: E402
 from vtm.train.mixup import MixUp  # noqa: E402
@@ -37,6 +46,18 @@ from vtm.utils.logging import get_logger, setup_logging  # noqa: E402
 from vtm.vis.tensorboard_vis import TensorboardWriter  # noqa: E402
 
 logger = get_logger(__name__)
+
+
+def _epic_accuracies(logits, labels):
+    """((v1,v5),(n1,n5),(a1,a5)) in % (reference train_net.py:223-247)."""
+    verb = np.asarray(logits[0])
+    noun = np.asarray(logits[1])
+    lv = np.asarray(labels["verb"])
+    ln = np.asarray(labels["noun"])
+    v1, v5 = topk_accuracies(verb, lv, (1, 5))
+    n1, n5 = topk_accuracies(noun, ln, (1, 5))
+    a1, a5 = multitask_topk_accuracies((verb, noun), (lv, ln), (1, 5))
+    return ((v1, v5), (n1, n5), (a1, a5))
 
 
 def _labels_of(batch, multi_head):
@@ -67,20 +88,22 @@ def train_epoch(
             frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
             labels = _labels_of(batch, multi_head)
         meter.data_toc()
-        params, opt_state, loss, logits = train_step(
+        params, opt_state, loss, logits, aux = train_step(
             params, opt_state, frames, labels, None
         )
         loss = float(loss)
         if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
             raise RuntimeError(f"NaN/inf loss at epoch {cur_epoch} iter {cur_iter}")
+        mb = batch["frames"].shape[0]
+        meter.iter_toc()
         if multi_head:
-            top1_err, top5_err = 0.0, 0.0
+            accs = _epic_accuracies(logits, batch["label"])
+            meter.update_stats(accs, (float(aux[0]), float(aux[1]), loss), lr, mb)
         else:
             top1_err, top5_err = topk_errors(
                 np.asarray(logits), np.asarray(batch["label"]), (1, 5)
             )
-        meter.iter_toc()
-        meter.update_stats(top1_err, top5_err, loss, lr, batch["frames"].shape[0])
+            meter.update_stats(top1_err, top5_err, loss, lr, mb)
         if tb_writer is not None:
             tb_writer.add_scalars(
                 {"Train/loss": loss, "Train/lr": lr},
@@ -100,7 +123,10 @@ def eval_epoch(loader, eval_step, params, meter, cur_epoch, cfg, multi_head):
         meter.data_toc()
         logits = eval_step(params, jnp.asarray(frames))
         meter.iter_toc()
-        if not multi_head:
+        if multi_head:
+            trimmed = (np.asarray(logits[0])[:n_valid], np.asarray(logits[1])[:n_valid])
+            meter.update_stats(_epic_accuracies(trimmed, batch["label"]), n_valid)
+        else:
             top1_err, top5_err = topk_errors(
                 np.asarray(logits)[:n_valid], np.asarray(batch["label"]), (1, 5)
             )
@@ -152,8 +178,12 @@ def train(cfg):
 
     train_loader = construct_loader(cfg, "train")
     val_loader = construct_loader(cfg, "val")
-    train_meter = TrainMeter(len(train_loader), cfg)
-    val_meter = ValMeter(len(val_loader), cfg)
+    if multi_head:
+        train_meter = EPICTrainMeter(len(train_loader), cfg)
+        val_meter = EPICValMeter(len(val_loader), cfg)
+    else:
+        train_meter = TrainMeter(len(train_loader), cfg)
+        val_meter = ValMeter(len(val_loader), cfg)
 
     mixup_fn = None
     if cfg.MIXUP.ENABLE and not multi_head:

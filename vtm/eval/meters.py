@@ -317,3 +317,162 @@ class ValMeter:
         }
         log_json_stats(stats, logger)
         return stats
+
+
+class EPICTrainMeter:
+    """EPIC-KITCHENS training meter: verb/noun/action losses and
+    accuracies (reference meters.py EPICTrainMeter)."""
+
+    def __init__(self, epoch_iters: int, cfg):
+        self.cfg = cfg
+        self.epoch_iters = epoch_iters
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.loss_verb = ScalarMeter(cfg.LOG_PERIOD)
+        self.loss_noun = ScalarMeter(cfg.LOG_PERIOD)
+        self.lr = None
+        self.reset()
+
+    def reset(self):
+        for m in (self.loss, self.loss_verb, self.loss_noun):
+            m.reset()
+        self.totals = np.zeros(3)  # verb/noun/action loss sums
+        self.correct = np.zeros((3, 2))  # [verb,noun,action] x [top1,top5]
+        self.num_samples = 0
+
+    iter_tic = TrainMeter.iter_tic
+    iter_toc = TrainMeter.iter_toc
+    data_toc = TrainMeter.data_toc
+
+    def update_stats(self, accuracies, losses, lr, mb_size):
+        """accuracies: ((v1,v5),(n1,n5),(a1,a5)) in %, losses:
+        (verb, noun, total)."""
+        (v1, v5), (n1, n5), (a1, a5) = accuracies
+        lv, ln, lt = losses
+        self.loss_verb.add_value(lv)
+        self.loss_noun.add_value(ln)
+        self.loss.add_value(lt)
+        self.lr = lr
+        self.totals += np.array([lv, ln, lt]) * mb_size
+        self.correct += (
+            np.array([[v1, v5], [n1, n5], [a1, a5]]) / 100.0 * mb_size
+        )
+        self.num_samples += mb_size
+
+    def log_iter_stats(self, cur_epoch: int, cur_iter: int):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        log_json_stats(
+            {
+                "split": "train_iter",
+                "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+                "iter": f"{cur_iter + 1}/{self.epoch_iters}",
+                "verb_loss": self.loss_verb.get_win_median(),
+                "noun_loss": self.loss_noun.get_win_median(),
+                "loss": self.loss.get_win_median(),
+                "lr": self.lr,
+                "time_diff": self.iter_timer.seconds(),
+            },
+            logger,
+        )
+
+    def log_epoch_stats(self, cur_epoch: int):
+        if self.num_samples == 0:
+            return
+        acc = self.correct / self.num_samples * 100.0
+        log_json_stats(
+            {
+                "split": "train_epoch",
+                "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+                "verb_top1_acc": acc[0, 0],
+                "verb_top5_acc": acc[0, 1],
+                "noun_top1_acc": acc[1, 0],
+                "noun_top5_acc": acc[1, 1],
+                "top1_acc": acc[2, 0],
+                "top5_acc": acc[2, 1],
+                "verb_loss": self.totals[0] / self.num_samples,
+                "noun_loss": self.totals[1] / self.num_samples,
+                "loss": self.totals[2] / self.num_samples,
+                "lr": self.lr,
+            },
+            logger,
+        )
+
+
+class EPICValMeter:
+    """EPIC-KITCHENS validation meter (reference meters.py EPICValMeter)."""
+
+    def __init__(self, max_iter: int, cfg):
+        self.cfg = cfg
+        self.max_iter = max_iter
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.max_top1_acc = -1.0
+        self.reset()
+
+    def reset(self):
+        self.correct = np.zeros((3, 2))
+        self.num_samples = 0
+
+    iter_tic = TrainMeter.iter_tic
+    iter_toc = TrainMeter.iter_toc
+    data_toc = TrainMeter.data_toc
+
+    def update_stats(self, accuracies, mb_size):
+        (v1, v5), (n1, n5), (a1, a5) = accuracies
+        self.correct += (
+            np.array([[v1, v5], [n1, n5], [a1, a5]]) / 100.0 * mb_size
+        )
+        self.num_samples += mb_size
+
+    def log_epoch_stats(self, cur_epoch: int):
+        if self.num_samples == 0:
+            return {}
+        acc = self.correct / self.num_samples * 100.0
+        is_best = acc[2, 0] > self.max_top1_acc
+        self.max_top1_acc = max(self.max_top1_acc, acc[2, 0])
+        stats = {
+            "split": "val_epoch",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "verb_top1_acc": acc[0, 0],
+            "verb_top5_acc": acc[0, 1],
+            "noun_top1_acc": acc[1, 0],
+            "noun_top5_acc": acc[1, 1],
+            "top1_acc": acc[2, 0],
+            "top5_acc": acc[2, 1],
+            "max_top1_acc": self.max_top1_acc,
+            "is_best_epoch": bool(is_best),
+        }
+        log_json_stats(stats, logger)
+        return stats
+
+
+class EpochTimer:
+    """Per-epoch wall timing (reference meters.py EpochTimer:901-953)."""
+
+    def __init__(self):
+        self.timer = Timer()
+        self.epoch_durations = []
+
+    def reset(self):
+        self.timer.reset()
+        self.epoch_durations = []
+
+    def epoch_tic(self):
+        self.timer.reset()
+
+    def epoch_toc(self):
+        self.timer.pause()
+        self.epoch_durations.append(self.timer.seconds())
+
+    def last_epoch_time(self):
+        return self.epoch_durations[-1]
+
+    def avg_epoch_time(self):
+        return float(np.mean(self.epoch_durations))
+
+    def median_epoch_time(self):
+        return float(np.median(self.epoch_durations))

@@ -37,9 +37,15 @@ def multitask_topks_correct(
     maxk = max(ks)
     in_topk = []
     for p, l in zip(preds, labels):
-        order = np.argsort(-p, axis=1)[:, :maxk]
-        correct = order == np.asarray(l)[:, None]  # [N, maxk]
-        in_topk.append(np.cumsum(correct, axis=1) > 0)  # [N, maxk] in top-(j+1)
+        kk = min(maxk, p.shape[1])  # a head may have < maxk classes
+        order = np.argsort(-p, axis=1)[:, :kk]
+        correct = order == np.asarray(l)[:, None]  # [N, kk]
+        hit = np.cumsum(correct, axis=1) > 0  # [N, kk] in top-(j+1)
+        if kk < maxk:  # in top-C => in top-k for all k >= C
+            hit = np.concatenate(
+                [hit, np.repeat(hit[:, -1:], maxk - kk, axis=1)], axis=1
+            )
+        in_topk.append(hit)
     joint = in_topk[0]
     for h in in_topk[1:]:
         joint = joint & h

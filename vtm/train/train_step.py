@@ -25,15 +25,19 @@ def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None):
         def loss_fn(p):
             logits, _ = module.apply({"params": p}, frames, rng=rngs)
             if multi_head:
-                loss = loss_lib.epic_dual_loss(base_loss, logits, labels)
-            else:
-                loss = base_loss(logits, labels)
-            return loss, logits
+                verb = base_loss(logits[0], labels["verb"])
+                noun = base_loss(logits[1], labels["noun"])
+                loss = 0.5 * (verb + noun)  # reference train_net.py:157-161
+                return loss, (logits, (verb, noun))
+            loss = base_loss(logits, labels)
+            return loss, (logits, ())
 
-        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (loss, (logits, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params
+        )
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss, logits
+        return new_params, new_opt_state, loss, logits, aux
 
     if mesh is None:
         return jax.jit(step)

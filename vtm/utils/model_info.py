@@ -1,0 +1,53 @@
+"""Model statistics (reference: slowfast/utils/misc.py:80-199
+`log_model_info` — fvcore flop/activation counting on dummy input).
+
+TPU-native: FLOPs come from XLA's own cost analysis of the compiled
+forward computation; params/bytes from the pytree.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtm.utils.logging import get_logger, log_json_stats
+
+logger = get_logger(__name__)
+
+
+def params_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def params_bytes(params) -> int:
+    return sum(
+        int(np.prod(p.shape)) * jnp.dtype(p.dtype).itemsize
+        for p in jax.tree_util.tree_leaves(params)
+    )
+
+
+def flop_count(module, params, sample: jax.Array) -> float:
+    """FLOPs of one forward pass from XLA cost analysis (analog of
+    fvcore flop_count on a dummy input, misc.py:139)."""
+    fn = jax.jit(lambda p, v: module.apply({"params": p}, v))
+    compiled = fn.lower(params, sample).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns [dict]
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", 0.0))
+
+
+def log_model_info(bundle, cfg, use_train_input: bool = False) -> dict:
+    t = cfg.DATA.NUM_FRAMES
+    s = cfg.DATA.TRAIN_CROP_SIZE if use_train_input else cfg.DATA.TEST_CROP_SIZE
+    sample = jnp.zeros((1, t, s, s, 3), jnp.float32)
+    flops = flop_count(bundle.module, bundle.params, sample)
+    stats = {
+        "model": bundle.name,
+        "params": params_count(bundle.params),
+        "param_bytes": params_bytes(bundle.params),
+        "gflops_per_clip": round(flops / 1e9, 3),
+    }
+    log_json_stats({"split": "model_info", **stats}, logger)
+    return stats

@@ -29,6 +29,21 @@ class Synthetic:
             else tuple(cfg.EPICKITCHENS.NUM_CLASSES)
         )
 
+    @property
+    def _labels(self):
+        """Per-item labels (used by the clip-splicing wrappers)."""
+        n = self.num_classes[0] if isinstance(self.num_classes, (tuple, list)) else self.num_classes
+        return [(i // self._num_clips) % n for i in range(len(self))]
+
+    @property
+    def _verb_labels(self):
+        return self._labels
+
+    @property
+    def _noun_labels(self):
+        n = self.num_classes[1] if isinstance(self.num_classes, (tuple, list)) else self.num_classes
+        return [(i // self._num_clips) % n for i in range(len(self))]
+
     def __len__(self):
         return self._num_videos * self._num_clips
 

@@ -219,6 +219,22 @@ def get_cfg() -> CfgNode:
     _C.TENSORBOARD.CONFUSION_MATRIX.ENABLE = False
     _C.TENSORBOARD.CONFUSION_MATRIX.FIGSIZE = [8, 8]
     _C.TENSORBOARD.CONFUSION_MATRIX.SUBSET_PATH = ""
+    _C.TENSORBOARD.MODEL_VIS = CfgNode()
+    _C.TENSORBOARD.MODEL_VIS.ENABLE = False
+    _C.TENSORBOARD.MODEL_VIS.MODEL_WEIGHTS = False
+    _C.TENSORBOARD.MODEL_VIS.ACTIVATIONS = False
+    _C.TENSORBOARD.MODEL_VIS.INPUT_VIDEO = False
+    _C.TENSORBOARD.MODEL_VIS.LAYER_LIST = []
+    _C.TENSORBOARD.MODEL_VIS.TOPK_PREDS = 1
+    _C.TENSORBOARD.MODEL_VIS.COLORMAP = "Pastel2"
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM = CfgNode()
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.ENABLE = True
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.LAYER_LIST = []
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.COLORMAP = "viridis"
+    _C.TENSORBOARD.MODEL_VIS.MAX_BATCHES = 4
+    _C.TENSORBOARD.WRONG_PRED_VIS = CfgNode()
+    _C.TENSORBOARD.WRONG_PRED_VIS.ENABLE = False
+    _C.TENSORBOARD.WRONG_PRED_VIS.TAG = "Incorrectly classified videos"
 
     # -------------------------------------------------------------------- AUG
     _C.AUG = CfgNode()

@@ -1,0 +1,148 @@
+"""Grad-CAM for the vtm video transformers (reference:
+slowfast/visualization/gradcam_utils.py GradCAM:12-188).
+
+JAX-native: instead of forward/backward hooks, the target block's
+output is perturbed with a zero tensor via
+``flax.linen.intercept_methods``; ``jax.grad`` w.r.t. the perturbation
+IS the gradient of the score w.r.t. that activation. When token
+merging is active and ``trace_source`` is on, the per-merged-token CAM
+is broadcast back to the original token grid through the source
+adjacency before reshaping to (T', H', W').
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _apply_with_perturbation(module, params, x, layer_path: str, eps):
+    """Forward pass with ``eps`` added to the output of the submodule
+    whose flax path joins to ``layer_path`` (e.g. 'blocks_5'). Returns
+    (logits, state, activation)."""
+    captured = {}
+
+    def interceptor(next_fun, args, kwargs, context):
+        out = next_fun(*args, **kwargs)
+        path = "/".join(context.module.path)
+        if path == layer_path and context.method_name == "__call__":
+            if isinstance(out, tuple):
+                captured["act"] = out[0]
+                return (out[0] + eps, *out[1:])
+            captured["act"] = out
+            return out + eps
+        return out
+
+    with nn.intercept_methods(interceptor):
+        logits, state = module.apply({"params": params}, x)
+    return logits, state, captured.get("act")
+
+
+class GradCAM:
+    """Localization maps for a ModelBundle.
+
+    ``target_layer``: flax submodule path (default: the last block).
+    """
+
+    def __init__(self, bundle, target_layer: Optional[str] = None, colormap="viridis"):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        self.bundle = bundle
+        depth = getattr(bundle.config, "depth", None) or getattr(
+            bundle.config, "num_hidden_layers"
+        )
+        prefix = "layer" if bundle.name == "ViViT" else "blocks"
+        self.target_layer = target_layer or f"{prefix}_{depth - 1}"
+        self.colormap = plt.get_cmap(colormap)
+        self.class_token = bundle.name in ("ViViT", "TimeSformer", "Motionformer")
+
+    def localization_map(
+        self, x: jnp.ndarray, labels: Optional[np.ndarray] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (maps [B, n_tokens_orig] in [0,1], preds [B, C])."""
+        module, params = self.bundle.module, self.bundle.params
+
+        logits0, state0, act0 = _apply_with_perturbation(
+            module, params, x, self.target_layer, 0.0
+        )
+        if act0 is None:
+            raise KeyError(
+                f"target layer {self.target_layer!r} not found in "
+                f"{self.bundle.name} (use the flax path, e.g. 'blocks_5')"
+            )
+        preds = np.asarray(logits0 if not isinstance(logits0, tuple) else logits0[0])
+        if labels is None:
+            labels = preds.argmax(axis=-1)
+
+        def score_fn(eps):
+            logits, _, _ = _apply_with_perturbation(
+                module, params, x, self.target_layer, eps
+            )
+            if isinstance(logits, tuple):
+                logits = logits[0]
+            return jnp.take_along_axis(
+                logits, jnp.asarray(labels)[:, None], axis=1
+            ).sum()
+
+        grads = jax.grad(score_fn)(jnp.zeros_like(act0))  # [B', N', D]
+        act = np.asarray(act0, np.float32)
+        grads = np.asarray(grads, np.float32)
+
+        weights = grads.mean(axis=1, keepdims=True)  # [B', 1, D]
+        cam = np.maximum((weights * act).sum(axis=-1), 0.0)  # [B', N']
+
+        if self.class_token and self.bundle.name in ("ViViT",):
+            cam = cam[:, 1:]
+        if self.bundle.name in ("TimeSformer", "Motionformer"):
+            cam = cam[:, 1:]  # strip CLS from the flat sequence
+
+        # broadcast merged-token maps back to the original grid
+        if state0.source is not None:
+            src = np.asarray(state0.source, np.float32)  # [B', n_t, n_0]
+            if self.class_token and src.shape[2] == cam.shape[1] + 1:
+                src = src[:, :, 1:]
+            if src.shape[1] == cam.shape[1] + 1:
+                src = src[:, 1:, :]
+            cam = np.einsum("bn,bnm->bm", cam[:, : src.shape[1]], src)
+
+        lo = cam.min(axis=1, keepdims=True)
+        hi = cam.max(axis=1, keepdims=True)
+        cam = (cam - lo) / np.maximum(hi - lo, 1e-8)
+        return cam, preds
+
+    def overlay(
+        self, frames: np.ndarray, cam_tokens: np.ndarray, alpha: float = 0.5
+    ) -> np.ndarray:
+        """frames [T, H, W, C] in [0,1] + per-token map -> heatmap
+        overlay video [T, H, W, 3] uint8. Token grid inferred from the
+        model's patch geometry."""
+        t, h, w, _ = frames.shape
+        c = self.bundle.config
+        if self.bundle.name == "VideoMAE":
+            gt, gs = t // c.tubelet_size, h // c.patch_size
+        elif self.bundle.name == "ViViT":
+            gt, gs = t // c.tubelet_size[0], h // c.tubelet_size[1]
+        elif self.bundle.name == "Motionformer":
+            gt, gs = c.temporal_resolution, h // c.patch_size
+        else:  # TimeSformer: (p t) order handled below
+            gt, gs = t, h // c.patch_size
+        if self.bundle.name == "TimeSformer":
+            grid = cam_tokens.reshape(gs * gs, gt).T.reshape(gt, gs, gs)
+        else:
+            grid = cam_tokens.reshape(gt, gs, gs)
+        reps_t = t // gt
+        up = np.repeat(
+            np.repeat(np.repeat(grid, reps_t, axis=0), h // gs, axis=1),
+            w // gs,
+            axis=2,
+        )
+        heat = self.colormap(up)[..., :3]
+        out = (1 - alpha) * frames + alpha * heat
+        return np.uint8(np.clip(out, 0, 1) * 255)

@@ -48,7 +48,8 @@ from vtm.utils.benchmark import chained_seconds, host_roundtrip_latency  # noqa:
 def measure(module, params, x, iters: int, rtt: float) -> float:
     """clips/sec over ``iters`` chained forward passes."""
     secs = chained_seconds(
-        lambda v: module.apply({"params": params}, v)[0], x, iters, rtt=rtt
+        lambda p, v: module.apply({"params": p}, v)[0], x, iters, rtt=rtt,
+        params=params,
     )
     return x.shape[0] * iters / secs
 

@@ -45,7 +45,7 @@ def perform_benchmark(module, params, cfg, mesh) -> dict:
     # don't block in block_until_ready, so timing chains the iterations
     # on-device and synchronises via a scalar fetch.
     elapsed = chained_seconds(
-        lambda v: module.apply({"params": params}, v)[0], dummy, iters
+        lambda p, v: module.apply({"params": p}, v)[0], dummy, iters, params=params
     )
 
     frame_time_ms = elapsed / (batch * t * iters) * 1000.0

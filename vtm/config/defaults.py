@@ -236,6 +236,20 @@ def get_cfg() -> CfgNode:
     _C.TENSORBOARD.WRONG_PRED_VIS.ENABLE = False
     _C.TENSORBOARD.WRONG_PRED_VIS.TAG = "Incorrectly classified videos"
 
+    # ------------------------------------------------------------------- DEMO
+    _C.DEMO = CfgNode()
+    _C.DEMO.ENABLE = False
+    _C.DEMO.LABEL_FILE_PATH = ""
+    _C.DEMO.WEBCAM = -1
+    _C.DEMO.INPUT_VIDEO = ""
+    _C.DEMO.OUTPUT_FILE = ""
+    _C.DEMO.OUTPUT_FPS = -1
+    _C.DEMO.INPUT_FORMAT = "BGR"
+    _C.DEMO.BUFFER_SIZE = 0
+    _C.DEMO.THREAD_ENABLE = False
+    _C.DEMO.NUM_CLIPS_SKIP = 0
+    _C.DEMO.VIS_TOPK = 3
+
     # -------------------------------------------------------------------- AUG
     _C.AUG = CfgNode()
     _C.AUG.ENABLE = False

@@ -32,18 +32,25 @@ def host_roundtrip_latency(repeats: int = 3) -> float:
 
 
 def chained_seconds(
-    apply_fn: Callable[[jax.Array], jax.Array],
+    apply_fn: Callable[..., jax.Array],
     x: jax.Array,
     iters: int,
     repeats: int = 2,
     rtt: float | None = None,
+    params=None,
 ) -> float:
-    """Seconds for ``iters`` serialized applications of ``apply_fn``
-    (x -> logits/array), timed on-device, best of ``repeats``."""
+    """Seconds for ``iters`` serialized applications of ``apply_fn``,
+    timed on-device, best of ``repeats``.
 
-    def chain(v):
+    ``apply_fn`` is ``v -> out`` (params closed over) or, when
+    ``params`` is given, ``(params, v) -> out``. ALWAYS pass large
+    weight pytrees via ``params`` — a closure bakes them into the HLO
+    as constants (hundreds of MB; remote-compile requests reject it).
+    """
+
+    def chain(p, v):
         def body(carry, _):
-            out = apply_fn(carry)
+            out = apply_fn(carry) if p is None else apply_fn(p, carry)
             s = sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
             carry = carry + (s * 0).astype(carry.dtype)
             return carry, ()
@@ -52,13 +59,13 @@ def chained_seconds(
         return out.sum()
 
     fn = jax.jit(chain)
-    float(fn(x))  # compile + one synced run
+    float(fn(params, x))  # compile + one synced run
     if rtt is None:
         rtt = host_roundtrip_latency()
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(fn(x))
+        float(fn(params, x))
         best = min(best, time.perf_counter() - t0)
     return max(best - rtt, 1e-9)
 
@@ -86,12 +93,12 @@ def benchmark(
         dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
     )
 
-    def apply_fn(v):
-        out = module.apply({"params": params}, v)
+    def apply_fn(p, v):
+        out = module.apply({"params": p}, v)
         return out[0] if isinstance(out, tuple) else out
 
     timed_iters = max(1, runs - int(runs * throw_out))
-    elapsed = chained_seconds(apply_fn, x, timed_iters)
+    elapsed = chained_seconds(apply_fn, x, timed_iters, params=params)
     throughput = batch_size * timed_iters / elapsed
     if verbose:
         print(f"Throughput: {throughput:.2f} clips/s")

@@ -187,6 +187,7 @@ class Epickitchens:
             crop_size = cfg.DATA.TEST_CROP_SIZE
 
         frames = pack_frames_to_video_clip(cfg, record, temporal_sample_index)
+        frames = transform.train_augment(cfg, frames, self.mode)
         frames = transform.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
         frames = transform.spatial_sampling(
             frames,
@@ -197,6 +198,7 @@ class Epickitchens:
             random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
             inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
         )
+        frames = transform.train_random_erase(cfg, frames, self.mode)
         return {
             "frames": np.ascontiguousarray(frames, dtype=np.float32),
             "label": record.label,

@@ -109,6 +109,7 @@ class Kinetics:
                 f"Failed to decode after {self._num_retries} retries"
             )
 
+        frames = transform.train_augment(cfg, frames, self.mode)
         frames = transform.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
         frames = transform.spatial_sampling(
             frames,
@@ -119,6 +120,7 @@ class Kinetics:
             random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
             inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
         )
+        frames = transform.train_random_erase(cfg, frames, self.mode)
         frames = np.ascontiguousarray(frames, dtype=np.float32)
         label = self._labels[index]
         if cfg.DATA.DUMMY_LOAD and self._dummy_cache is None:

@@ -152,6 +152,7 @@ class Ssv2:
 
         seq = self.get_seq_frames(index)
         frames = retry_load_images([self._path_to_videos[index][i] for i in seq])
+        frames = transform.train_augment(cfg, frames, self.mode)
         frames = transform.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
         frames = transform.spatial_sampling(
             frames,
@@ -162,6 +163,7 @@ class Ssv2:
             random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
             inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
         )
+        frames = transform.train_random_erase(cfg, frames, self.mode)
         return {
             "frames": np.ascontiguousarray(frames, dtype=np.float32),
             "label": self._labels[index],

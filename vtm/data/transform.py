@@ -130,3 +130,25 @@ def spatial_sampling(
         frames = short_side_scale(frames, min_scale)
         frames = uniform_crop(frames, crop_size, spatial_idx)
     return frames
+
+
+def train_augment(cfg, frames: np.ndarray, mode: str) -> np.ndarray:
+    """RandAugment on uint8 frames before normalisation (reference
+    datasets/utils.aug_frame via AUG.ENABLE)."""
+    if mode != "train" or not cfg.AUG.ENABLE:
+        return frames
+    from vtm.data.rand_augment import create_random_augment
+
+    return create_random_augment(cfg.AUG.AA_TYPE)(frames)
+
+
+def train_random_erase(cfg, frames: np.ndarray, mode: str) -> np.ndarray:
+    """RandomErasing on normalised float frames (reference AUG.RE_*)."""
+    if mode != "train" or not cfg.AUG.ENABLE or cfg.AUG.RE_PROB <= 0:
+        return frames
+    from vtm.data.rand_augment import RandomErasing
+
+    eraser = RandomErasing(
+        probability=cfg.AUG.RE_PROB, mode=cfg.AUG.RE_MODE, max_count=cfg.AUG.RE_COUNT
+    )
+    return eraser(frames)

@@ -80,6 +80,19 @@ class LayerNorm(nn.LayerNorm):
         return super().__call__(x.astype(jnp.float32)).astype(x.dtype)
 
 
+_FLASH_MIN_SEQ = 256  # below this the fused kernel isn't worth the padding
+_FLASH_MAX_SEQ = 4096  # whole-row K/V must fit in VMEM
+
+
+def _on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -89,13 +102,29 @@ def attention_core(
     bias_excludes_first: bool = False,
 ) -> jnp.ndarray:
     """Scaled dot-product attention over [B, H, N, hd] with optional
-    proportional-attention bias. Softmax in fp32.
+    proportional-attention bias.
+
+    On TPU with long sequences this dispatches to the fused Pallas
+    kernel (vtm/ops/flash_attention.py: no [N, N] logits in HBM, fp32
+    softmax inside, native per-key log-size bias); otherwise an einsum
+    path with fp32 softmax.
 
     ``bias_excludes_first``: TimeSformer adds size.log only to the
     non-CLS block of the logits — in that case ``size_bias`` must have
     key length N-1 and is added to logits[:, :, 1:, 1:] (reference
-    tome/patch/timesformer.py:73-74).
+    tome/patch/timesformer.py:73-74); that pattern is not a pure key
+    bias, so it keeps the einsum path.
     """
+    if (
+        _on_tpu()
+        and not bias_excludes_first
+        and q.shape[2] == k.shape[2]
+        and _FLASH_MIN_SEQ <= q.shape[2] <= _FLASH_MAX_SEQ
+    ):
+        from vtm.ops.flash_attention import tome_flash_attention
+
+        key_bias = None if size_bias is None else size_bias[:, 0, 0, :]
+        return tome_flash_attention(q, k, v, key_bias, scale)
     dtype = v.dtype
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32)
     if size_bias is not None:

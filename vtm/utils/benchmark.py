@@ -49,14 +49,23 @@ def chained_seconds(
     """
 
     def chain(p, v):
+        # Every iteration's output is folded into a LIVE accumulator
+        # (so it cannot be dead-code-eliminated — a zero-scaled feedback
+        # is algebraically simplified away by XLA), and the next
+        # iteration's input is barriered against that accumulator (so
+        # the loop body cannot be hoisted as loop-invariant).
         def body(carry, _):
-            out = apply_fn(carry) if p is None else apply_fn(p, carry)
-            s = sum(jnp.sum(leaf) for leaf in jax.tree_util.tree_leaves(out))
-            carry = carry + (s * 0).astype(carry.dtype)
-            return carry, ()
+            vv, acc = carry
+            out = apply_fn(vv) if p is None else apply_fn(p, vv)
+            acc = acc + sum(
+                jnp.sum(leaf).astype(jnp.float32)
+                for leaf in jax.tree_util.tree_leaves(out)
+            )
+            vv, acc = jax.lax.optimization_barrier((vv, acc))
+            return (vv, acc), ()
 
-        out, _ = jax.lax.scan(body, v, None, length=iters)
-        return out.sum()
+        (_, acc), _ = jax.lax.scan(body, (v, jnp.float32(0)), None, length=iters)
+        return acc
 
     fn = jax.jit(chain)
     float(fn(params, x))  # compile + one synced run

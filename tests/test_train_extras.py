@@ -3,6 +3,7 @@ train() run exercising them."""
 
 import json
 
+import jax
 import numpy as np
 
 from vtm.config import assert_and_infer_cfg, get_cfg
@@ -128,3 +129,52 @@ def test_train_epic_dual_head(tmp_path):
     assert_and_infer_cfg(cfg)
     params = train(cfg)
     assert params is not None
+
+
+def test_train_auto_resume_with_opt_state(tmp_path):
+    from tools.train_net import train
+    from vtm.checkpoints import checkpoint as cu
+
+    def make_cfg(max_epoch):
+        cfg = get_cfg()
+        cfg.merge_from_list([
+            "MODEL.MODEL_NAME", "VideoMAE",
+            "VIDEOMAE.MODEL", "vit_small_patch16_224",
+            "MODEL.NUM_CLASSES", "5",
+            "DATA.NUM_FRAMES", "4",
+            "DATA.TRAIN_CROP_SIZE", "32",
+            "DATA.TEST_CROP_SIZE", "32",
+            "TRAIN.DATASET", "synthetic",
+            "TRAIN.BATCH_SIZE", "8",
+            "TRAIN.EVAL_PERIOD", "10",
+            "TRAIN.CHECKPOINT_PERIOD", "1",
+            "SOLVER.MAX_EPOCH", str(max_epoch),
+            "SOLVER.OPTIMIZING_METHOD", "adamw",
+            "TPU.COMPUTE_DTYPE", "float32",
+            "DATA_LOADER.NUM_WORKERS", "1",
+            "OUTPUT_DIR", str(tmp_path),
+        ])
+        return assert_and_infer_cfg(cfg)
+
+    train(make_cfg(1))
+    last = cu.get_last_checkpoint(str(tmp_path))
+    assert last and last.endswith("epoch_00000")
+    # opt_state was saved alongside params and restores round-trip
+    import numpy as np
+
+    from vtm.models.build import build_model
+    from vtm.train.optimizer import construct_optimizer
+
+    cfg1 = make_cfg(1)
+    bundle = build_model(cfg1)
+    tx, _ = construct_optimizer(cfg1, bundle.params, num_layers=12)
+    template = tx.init(bundle.params)
+    _, opt, epoch = cu.load_checkpoint(last, bundle.params, template)
+    assert epoch == 0 and opt is not None
+    # adam moments are non-zero after a training epoch
+    leaves = [np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(opt)]
+    assert sum(leaves) > 0
+    # resume: runs epoch 2 only and writes epoch_00001
+    train(make_cfg(2))
+    last = cu.get_last_checkpoint(str(tmp_path))
+    assert last.endswith("epoch_00001")

@@ -155,9 +155,13 @@ def train(cfg):
     )
 
     start_epoch = 0
+    restored_opt = None
     if cfg.TRAIN.AUTO_RESUME and cu.get_last_checkpoint(cfg.OUTPUT_DIR):
         last = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
-        bundle.params, start_epoch = cu.load_checkpoint(last, bundle.params)
+        opt_template = tx.init(bundle.params)
+        bundle.params, restored_opt, start_epoch = cu.load_checkpoint(
+            last, bundle.params, opt_template
+        )
         start_epoch += 1
         logger.info("Auto-resumed from %s (epoch %d)", last, start_epoch)
     elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
@@ -167,10 +171,12 @@ def train(cfg):
         cfg.TEST.CHECKPOINT_FILE_PATH = cfg.TRAIN.CHECKPOINT_FILE_PATH
         bundle = load_test_checkpoint(cfg, bundle)
         cfg.TEST.CHECKPOINT_FILE_PATH = saved
+        if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
+            start_epoch = 0
 
     mesh = make_mesh()
     params = replicate(mesh, bundle.params)
-    opt_state = tx.init(params)
+    opt_state = restored_opt if restored_opt is not None else tx.init(params)
     train_step = make_train_step(
         bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=None
     )
@@ -216,7 +222,7 @@ def train(cfg):
             tb_writer=tb_writer,
         )
         if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
-            cu.save_checkpoint(cfg.OUTPUT_DIR, params, None, cur_epoch, cfg)
+            cu.save_checkpoint(cfg.OUTPUT_DIR, params, opt_state, cur_epoch, cfg)
         if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
             eval_epoch(val_loader, eval_step, params, val_meter, cur_epoch, cfg, multi_head)
     if tb_writer is not None:

@@ -32,6 +32,8 @@ def _epoch_dir(output_dir: str, epoch: int) -> str:
 
 
 def save_checkpoint(output_dir: str, params, opt_state, epoch: int, cfg=None):
+    """Model + optimizer + epoch (the reference saves model_state,
+    optimizer, scaler and cfg — checkpoint.py:115-149)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(_epoch_dir(output_dir, epoch))
@@ -40,6 +42,8 @@ def save_checkpoint(output_dir: str, params, opt_state, epoch: int, cfg=None):
         "params": jax.tree_util.tree_map(np.asarray, params),
         "epoch": np.asarray(epoch),
     }
+    if opt_state is not None:
+        payload["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     if cfg is not None:
@@ -59,7 +63,10 @@ def get_last_checkpoint(output_dir: str) -> Optional[str]:
     return os.path.join(d, max(names))
 
 
-def load_checkpoint(path: str, params_template):
+def load_checkpoint(path: str, params_template, opt_state_template=None):
+    """Restore (params, epoch) — and the optimizer state when a
+    template is given and the checkpoint carries one. Returns
+    (params, epoch) or (params, opt_state, epoch)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -67,6 +74,17 @@ def load_checkpoint(path: str, params_template):
         "params": jax.tree_util.tree_map(np.asarray, params_template),
         "epoch": np.asarray(0),
     }
+    if opt_state_template is not None:
+        with_opt = dict(target)
+        with_opt["opt_state"] = jax.tree_util.tree_map(
+            np.asarray, opt_state_template
+        )
+        try:
+            restored = ckptr.restore(os.path.abspath(path), with_opt)
+            return restored["params"], restored["opt_state"], int(restored["epoch"])
+        except Exception:  # older checkpoint without optimizer state
+            restored = ckptr.restore(os.path.abspath(path), target)
+            return restored["params"], None, int(restored["epoch"])
     restored = ckptr.restore(os.path.abspath(path), target)
     return restored["params"], int(restored["epoch"])
 

@@ -79,10 +79,6 @@ class TrajectoryAttention(nn.Module):
     @nn.compact
     def __call__(self, x, num_frames: int, size=None, with_metric: bool = True):
         c = self.config
-        if c.approx_attn_type != "none":
-            raise NotImplementedError(
-                f"approx attention {c.approx_attn_type!r} not implemented on TPU yet"
-            )
         b, n, d = x.shape
         h = c.num_heads
         hd = d // h
@@ -103,19 +99,47 @@ class TrajectoryAttention(nn.Module):
         cls_out = merge_heads(cls_out)  # [B, 1, D]
 
         q_, k_, v_ = q[:, :, 1:], k[:, :, 1:], v[:, :, 1:]
-        # spatial attention per actual frame (keys grouped (f n))
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q_, k_, preferred_element_type=jnp.float32
-        ) * scale
-        if size is not None:
-            # size [(B*F), S, 1] -> flat (s f) over the body (patch quirk,
-            # tome/patch/motionformer.py:109-110)
-            size_flat = _unfold_space(size, b, f)[:, :, 0]  # [B, N-1]
-            logits = logits + jnp.log(size_flat)[:, None, None, :].astype(jnp.float32)
-        logits = logits.reshape(b, h, n - 1, f, s)
-        attn = nn.softmax(logits, axis=-1).astype(v.dtype)
-        v_f = v_.reshape(b, h, f, s, hd)
-        xfa = jnp.einsum("bhqfn,bhfnd->bhqfd", attn, v_f)  # [B,h,N',F,hd]
+        if c.approx_attn_type != "none":
+            # approximate spatial attention (reference trajectory attn
+            # branches, motionformer_vit_helper.py:186-233; size/ToMe
+            # proportional bias applies to the full branch only)
+            from vtm.models import motionformer_approx as approx
+
+            q_f = q_.reshape(b * h, n - 1, hd)
+            k_f = k_.reshape(b * h, n - 1, hd)
+            v_f2 = v_.reshape(b * h, n - 1, hd)
+            if c.approx_attn_type == "nystrom":
+                xfa = approx.nystrom_spatial_attn(
+                    q_f, k_f, v_f2,
+                    landmarks=c.approx_attn_dim,
+                    num_frames=f,
+                    use_spatial_landmarks=True,
+                )
+            elif c.approx_attn_type == "orthoformer":
+                xfa = approx.orthoformer(
+                    q_f, k_f, v_f2,
+                    num_landmarks=c.approx_attn_dim,
+                    num_frames=f,
+                )
+            elif c.approx_attn_type == "performer":
+                xfa = approx.performer_attention(q_f, k_f, v_f2, f, m=256)
+            else:
+                raise ValueError(f"unknown approx_attn_type {c.approx_attn_type!r}")
+            xfa = xfa.reshape(b, h, n - 1, f, hd)
+        else:
+            # spatial attention per actual frame (keys grouped (f n))
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q_, k_, preferred_element_type=jnp.float32
+            ) * scale
+            if size is not None:
+                # size [(B*F), S, 1] -> flat (s f) over the body (patch quirk,
+                # tome/patch/motionformer.py:109-110)
+                size_flat = _unfold_space(size, b, f)[:, :, 0]  # [B, N-1]
+                logits = logits + jnp.log(size_flat)[:, None, None, :].astype(jnp.float32)
+            logits = logits.reshape(b, h, n - 1, f, s)
+            attn = nn.softmax(logits, axis=-1).astype(v.dtype)
+            v_f = v_.reshape(b, h, f, s, hd)
+            xfa = jnp.einsum("bhqfn,bhfnd->bhqfd", attn, v_f)  # [B,h,N',F,hd]
 
         # trajectory (temporal) attention; query = own-frame diagonal
         xq = jnp.transpose(xfa, (0, 2, 3, 1, 4)).reshape(b, n - 1, f, d)

@@ -73,3 +73,17 @@ def pad_to_multiple(x: np.ndarray, multiple: int):
         return x, n
     pad = np.repeat(x[:1], rem, axis=0)
     return np.concatenate([x, pad], axis=0), n
+
+
+def process_allgather(tree):
+    """Host-side all-gather across controller processes — the analog of
+    the reference's pickled gloo `all_gather_unaligned`
+    (slowfast/utils/distributed.py:150-264). Identity in the
+    single-controller case."""
+    import jax
+
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.process_allgather(tree)

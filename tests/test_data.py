@@ -121,3 +121,25 @@ def test_kinetics_csv(tmp_path):
     item = ds[0]
     assert item["frames"].shape == (4, 32, 32, 3)
     assert item["label"] == 3
+
+
+def test_selective_decode_matches_full_read(tmp_path):
+    """The grab-skip window decode must produce the same clip as the
+    full-read + temporal_sampling path."""
+    cv2 = pytest.importorskip("cv2")
+    from vtm.data import decoder
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    w.release()
+
+    for clip_idx in (0, 2, 4):
+        got = decoder.decode(path, 4, 8, clip_idx=clip_idx, num_clips=5)
+        frames, fps = decoder.read_video_cv2(path)
+        clip_size = 4 * 8 / 30 * fps
+        s, e, _ = decoder.get_start_end_idx(frames.shape[0], clip_size, clip_idx, 5)
+        ref = decoder.temporal_sampling(frames, s, e, 8)
+        np.testing.assert_array_equal(got, ref)

@@ -59,3 +59,23 @@ def test_attention_core_dispatch_consistency():
     np.testing.assert_allclose(
         np.asarray(out_einsum), np.asarray(out_kernel), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_frame_kernel_matches_reference(with_bias):
+    from vtm.ops.flash_attention import _frame_reference, tome_frame_attention
+
+    b, h, f, s, d = 2, 3, 8, 5, 16
+    n = f * s
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = (
+        jnp.asarray(np.log(rng.uniform(1, 4, (b, n))), jnp.float32)
+        if with_bias
+        else None
+    )
+    ref = np.asarray(_frame_reference(q, k, v, bias, 0.25, f))
+    got = np.asarray(tome_frame_attention(q, k, v, bias, 0.25, f))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

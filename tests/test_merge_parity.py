@@ -189,3 +189,23 @@ def test_r_clamp_and_identity():
     assert bipartite.bipartite_soft_matching(metric, 0) is None
     m = bipartite.bipartite_soft_matching(metric, 100, class_token=True)
     assert m.r == (10 - 1) // 2
+
+
+def test_bf16_metric_same_decisions_as_fp32():
+    """The HIGHEST-precision scores matmul makes bf16-activation
+    inference select the same merges as fp32 (bf16->f32 casts are
+    exact, so the decision inputs are identical)."""
+    import jax.numpy as jnp
+
+    from vtm.merge import bipartite
+
+    rng = np.random.default_rng(0)
+    metric32 = rng.standard_normal((3, 64, 16)).astype(np.float32)
+    # bf16-representable values so fp32 and bf16 paths see the same bits
+    metric_bf = jnp.asarray(metric32, jnp.bfloat16)
+    metric32 = np.asarray(metric_bf, np.float32)
+    m32 = bipartite.bipartite_soft_matching(jnp.asarray(metric32), 10)
+    mbf = bipartite.bipartite_soft_matching(metric_bf, 10)
+    np.testing.assert_array_equal(np.asarray(m32.src_idx), np.asarray(mbf.src_idx))
+    np.testing.assert_array_equal(np.asarray(m32.dst_idx), np.asarray(mbf.dst_idx))
+    np.testing.assert_array_equal(np.asarray(m32.unm_idx), np.asarray(mbf.unm_idx))

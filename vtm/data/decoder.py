@@ -69,6 +69,46 @@ def read_video_cv2(path: str) -> Tuple[Optional[np.ndarray], float]:
     return np.stack(frames), float(fps)
 
 
+def read_video_window_cv2(
+    path: str, first: int, last: int
+) -> Tuple[Optional[np.ndarray], int]:
+    """Decode only frames [first, last] (inclusive): leading frames are
+    skipped with ``grab()`` (no pixel decode) — the host-side analog of
+    the reference's selective-seek pyav decode (decoder.py:378-489).
+    Returns (frames, actual_first)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return None, 0
+    for _ in range(first):
+        if not cap.grab():
+            cap.release()
+            return None, 0
+    frames = []
+    for _ in range(first, last + 1):
+        ok, frame = cap.read()
+        if not ok:
+            break  # window extends past EOF: clip, like the reference
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    if not frames:
+        return None, 0
+    return np.stack(frames), first
+
+
+def _video_meta(path: str) -> Tuple[float, int]:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        return 0.0, 0
+    fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+    count = int(cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0)
+    cap.release()
+    return float(fps), count
+
+
 def decode(
     path: str,
     sampling_rate: int,
@@ -78,13 +118,30 @@ def decode(
     target_fps: int = 30,
     use_offset: bool = False,
 ) -> Optional[np.ndarray]:
-    """Decode a clip: full-video read, fps-retargeted clip window, then
-    equal-interval sampling (reference decoder.py:492-666 semantics).
+    """Decode a clip: fps-retargeted clip window, selective decode of
+    only the window's frames, equal-interval sampling (reference
+    decoder.py:492-666 semantics).
 
     Returns [num_frames, H, W, 3] uint8 or None on decode failure
     (callers implement the retry-with-replacement loop the reference
     uses, kinetics.py:282-309).
     """
+    fps, total = _video_meta(path)
+    if total > 0:
+        clip_size = sampling_rate * num_frames / target_fps * fps
+        start_idx, end_idx, _ = get_start_end_idx(
+            total, clip_size, clip_idx, num_clips, use_offset=use_offset
+        )
+        first = int(math.floor(max(start_idx, 0)))
+        last = min(int(math.ceil(end_idx)), total - 1)
+        window, first = read_video_window_cv2(path, first, last)
+        if window is not None:
+            index = np.linspace(start_idx, end_idx, num_frames)
+            index = np.clip(index, 0, total - 1).astype(np.int64) - first
+            index = np.clip(index, 0, window.shape[0] - 1)
+            return window[index]
+        # fall through to the full-read path on metadata mismatch
+
     frames, fps = read_video_cv2(path)
     if frames is None:
         return None

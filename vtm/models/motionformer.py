@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from vtm.merge.policy import MergePolicy, MergeState, reduce_tokens
 from vtm.models.build import ModelBundle, compute_dtype, duplication_plan, make_policy, register_model
-from vtm.models.common import LayerNorm, Mlp, merge_heads, split_heads
+from vtm.models.common import LayerNorm, Mlp, _on_tpu, merge_heads, split_heads
 from vtm.models.timesformer import _fold_space, _unfold_space
 
 
@@ -127,19 +127,28 @@ class TrajectoryAttention(nn.Module):
                 raise ValueError(f"unknown approx_attn_type {c.approx_attn_type!r}")
             xfa = xfa.reshape(b, h, n - 1, f, hd)
         else:
-            # spatial attention per actual frame (keys grouped (f n))
-            logits = jnp.einsum(
-                "bhqd,bhkd->bhqk", q_, k_, preferred_element_type=jnp.float32
-            ) * scale
+            # spatial attention per actual frame (keys grouped (f n));
+            # the proportional-attention size is (s f)-flattened while
+            # the keys are (f n)-major — the reference patch's exact
+            # inconsistency (tome/patch/motionformer.py:107-111)
+            key_bias = None
             if size is not None:
-                # size [(B*F), S, 1] -> flat (s f) over the body (patch quirk,
-                # tome/patch/motionformer.py:109-110)
                 size_flat = _unfold_space(size, b, f)[:, :, 0]  # [B, N-1]
-                logits = logits + jnp.log(size_flat)[:, None, None, :].astype(jnp.float32)
-            logits = logits.reshape(b, h, n - 1, f, s)
-            attn = nn.softmax(logits, axis=-1).astype(v.dtype)
-            v_f = v_.reshape(b, h, f, s, hd)
-            xfa = jnp.einsum("bhqfn,bhfnd->bhqfd", attn, v_f)  # [B,h,N',F,hd]
+                key_bias = jnp.log(size_flat)
+            if _on_tpu() and 256 <= n - 1 <= 4096:
+                from vtm.ops.flash_attention import tome_frame_attention
+
+                xfa = tome_frame_attention(q_, k_, v_, key_bias, scale, f)
+            else:
+                logits = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q_, k_, preferred_element_type=jnp.float32
+                ) * scale
+                if key_bias is not None:
+                    logits = logits + key_bias[:, None, None, :].astype(jnp.float32)
+                logits = logits.reshape(b, h, n - 1, f, s)
+                attn = nn.softmax(logits, axis=-1).astype(v.dtype)
+                v_f = v_.reshape(b, h, f, s, hd)
+                xfa = jnp.einsum("bhqfn,bhfnd->bhqfd", attn, v_f)  # [B,h,N',F,hd]
 
         # trajectory (temporal) attention; query = own-frame diagonal
         xq = jnp.transpose(xfa, (0, 2, 3, 1, 4)).reshape(b, n - 1, f, d)

@@ -144,3 +144,127 @@ def _bwd(sm_scale, blk_q, res, g):
 
 
 tome_flash_attention.defvjp(_fwd, _bwd)
+
+
+# ------------------------------------------------- per-frame (trajectory)
+
+
+def _frame_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+    """One (bh, q-block, frame) program of PER-FRAME attention: softmax
+    over this frame's keys only — the spatial step of Motionformer
+    trajectory attention (motionformer_vit_helper.py:236-243). The
+    frame is a grid dimension, so every op stays 2-D."""
+    q = q_ref[0]  # [blk_q, d] (pre-scaled)
+    k = k_ref[0]  # [s_pad, d] — this frame's keys
+    v = v_ref[0]  # [s_pad, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [blk_q, s_pad]
+    s = s + bias_ref[0, 0]  # [1, s_pad] broadcast
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
+    b, h, n, d = q.shape
+    f = frames
+    s_len = n // f
+    s_pad = -(-s_len // _LANE) * _LANE
+    n_pad = s_pad * f
+    blk_q_eff = min(blk_q, -(-n // _LANE) * _LANE)
+    nq_pad = -(-n // blk_q_eff) * blk_q_eff
+    dtype = q.dtype
+
+    qs = (q * sm_scale).reshape(b * h, n, d)
+    if nq_pad != n:
+        qs = jnp.pad(qs, [(0, 0), (0, nq_pad - n), (0, 0)])
+    # pad keys/values PER FRAME so frame segments stay contiguous
+    ks = k.reshape(b * h, f, s_len, d)
+    vs = v.reshape(b * h, f, s_len, d)
+    if s_pad != s_len:
+        ks = jnp.pad(ks, [(0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
+        vs = jnp.pad(vs, [(0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
+    ks = ks.reshape(b * h, n_pad, d)
+    vs = vs.reshape(b * h, n_pad, d)
+
+    bias = jnp.full((b, f, 1, s_pad), -1e30, jnp.float32)
+    kb = (
+        key_bias.astype(jnp.float32).reshape(b, f, 1, s_len)
+        if key_bias is not None
+        else jnp.zeros((b, f, 1, s_len), jnp.float32)
+    )
+    bias = bias.at[:, :, :, :s_len].set(kb)
+
+    grid = (b * h, nq_pad // blk_q_eff, f)
+    out = pl.pallas_call(
+        _frame_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q_eff, d), lambda bh, qi, fi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda bh, qi, fi: (bh, fi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, s_pad, d), lambda bh, qi, fi: (bh, fi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s_pad), lambda bh, qi, fi: (bh // h, fi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, blk_q_eff, d),
+            lambda bh, qi, fi: (bh, fi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, f, nq_pad, d), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * nq_pad * n_pad * d,
+            bytes_accessed=(3 * b * h * n_pad * d + b * h * nq_pad * f * d) * 2,
+            transcendentals=b * h * nq_pad * n_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias)
+    out = out[:, :, :n, :].reshape(b, h, f, n, d)
+    return jnp.transpose(out, (0, 1, 3, 2, 4))  # [B, H, N, F, d]
+
+
+def _frame_reference(q, k, v, key_bias, sm_scale, frames):
+    b, h, n, d = q.shape
+    f = frames
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * sm_scale, k, preferred_element_type=jnp.float32
+    )
+    if key_bias is not None:
+        logits = logits + key_bias.astype(jnp.float32)[:, None, None, :]
+    logits = logits.reshape(b, h, n, f, n // f)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqfn,bhfnd->bhqfd", probs, v.reshape(b, h, f, n // f, d))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def tome_frame_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_bias: Optional[jax.Array] = None,
+    sm_scale: float = 1.0,
+    frames: int = 8,
+    blk_q: int = 512,
+):
+    """Per-frame softmax attention, fused: returns [B, H, N, F, d]
+    (q/k/v: [B, H, N, d] with keys frame-major; key_bias: [B, N])."""
+    return _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q)
+
+
+def _frame_fwd(q, k, v, key_bias, sm_scale, frames, blk_q):
+    return _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q), (q, k, v, key_bias)
+
+
+def _frame_bwd(sm_scale, frames, blk_q, res, g):
+    q, k, v, key_bias = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: _frame_reference(q_, k_, v_, b_, sm_scale, frames),
+        q, k, v, key_bias,
+    )
+    return vjp(g)
+
+
+tome_frame_attention.defvjp(_frame_fwd, _frame_bwd)

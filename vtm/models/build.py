@@ -42,6 +42,34 @@ class ModelBundle:
         out, state = self.module.apply({"params": self.params}, x, rng=rng)
         return out, state
 
+    @property
+    def r(self):
+        """Reference `model.r` surface (see vtm.patch): the per-layer
+        merge schedule; assign int | (r, schedule) | [r0, r1, ...]."""
+        return self.policy.rs
+
+    @r.setter
+    def r(self, value):
+        import dataclasses
+
+        from vtm.merge.schedule import parse_r
+
+        # duplicated layers extend the executed depth (reference parses
+        # r against the grown block list, tome/patch/*.py parse_r call)
+        schedule = getattr(self.module, "layer_schedule", None)
+        depth = (
+            len(schedule)
+            if schedule
+            else getattr(self.config, "depth", None)
+            or getattr(self.config, "num_hidden_layers")
+        )
+        rs = tuple(parse_r(depth, value))
+        policy = dataclasses.replace(self.policy, rs=rs)
+        if policy.mode == "none":
+            policy = dataclasses.replace(policy, mode="merge")
+        self.policy = policy
+        self.module = self.module.clone(policy=policy)
+
     def init_params(self, rng: jax.Array, sample: jax.Array):
         self.params = self.module.init(rng, sample)["params"]
         return self.params

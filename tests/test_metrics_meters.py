@@ -75,3 +75,29 @@ def test_epictestmeter_action_metric():
     assert float(stats["verb_top1_acc"]) == 100.0
     assert float(stats["noun_top1_acc"]) == 100.0
     assert float(stats["action_top1_acc"]) == 100.0
+
+
+def test_clip_length_histogram(tmp_path):
+    """TEST.CLIP_LENGTH_HISTOGRAM writes a per-video (length, outcome)
+    csv (reference meters.py:437-440)."""
+    import pandas as pd
+
+    from vtm.config import get_cfg
+    from vtm.eval.meters import TestMeter
+
+    cfg = get_cfg()
+    cfg.TEST.DATASET = "kinetics"
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.TEST.CLIP_LENGTH_HISTOGRAM = True
+    cfg.TOME.R_VALUE = 7
+    pd.DataFrame(
+        {"video": [f"v{i}.mp4" for i in range(4)], "length": [1.0, 2.0, 3.0, 4.0]}
+    ).to_csv(tmp_path / "kinetics_lengths.csv", index=False)
+
+    meter = TestMeter(4, 1, 3, 1, cfg=cfg)
+    preds = np.eye(3)[[0, 1, 2, 0]].astype(np.float64)
+    labels = np.array([0, 1, 0, 0])
+    meter.update_stats(preds, labels, np.arange(4))
+    meter.finalize_metrics()
+    out = pd.read_csv(tmp_path / "random_init_r_7.csv")
+    assert list(out["outcome"]) == [True, True, False, True]

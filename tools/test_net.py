@@ -109,6 +109,7 @@ def test(cfg):
                 cfg.MODEL.NUM_CLASSES,
                 len(loader),
                 cfg.DATA.ENSEMBLE_METHOD,
+                cfg=cfg,
             )
         # every device batch must be equal: pad to a fixed size that is
         # a multiple of the mesh (keeps one compiled shape per run)

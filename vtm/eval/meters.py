@@ -30,7 +30,9 @@ class TestMeter:
         num_cls: int,
         overall_iters: int,
         multi_view_ensemble_method: str = "sum",
+        cfg=None,
     ):
+        self.cfg = cfg
         self.num_clips = num_clips
         self.overall_iters = overall_iters
         self.ensemble_method = multi_view_ensemble_method
@@ -101,9 +103,33 @@ class TestMeter:
         topks = [x / self.video_preds.shape[0] * 100.0 for x in num_topks]
         for k, topk in zip(ks, topks):
             stats[f"top{k}_acc"] = f"{topk:.2f}"
+        if self.cfg is not None and self.cfg.TEST.CLIP_LENGTH_HISTOGRAM:
+            self._write_length_histogram()
         log_json_stats(stats, logger)
         self.stats = stats
         return stats
+
+    def _write_length_histogram(self):
+        """Per-video (length, outcome) csv for accuracy-vs-length curves
+        (reference meters.py:437-440; lengths from save_lengths)."""
+        import pandas as pd
+
+        from vtm.analysis.dataset_tools import load_lengths
+
+        lengths = load_lengths(self.cfg)
+        outcomes = self.video_preds.argmax(axis=-1) == self.video_labels
+        n = min(len(lengths), len(outcomes))
+        df = lengths.iloc[:n].assign(outcome=outcomes[:n])
+        stem = (
+            self.cfg.TEST.CHECKPOINT_FILE_PATH.split("/")[-1].split(".")[0]
+            or "random_init"
+        )
+        out = (
+            f"{self.cfg.DATA.PATH_TO_DATA_DIR}/"
+            f"{stem}_r_{self.cfg.TOME.R_VALUE}.csv"
+        )
+        df.to_csv(out, index=False)
+        logger.info("clip-length histogram -> %s", out)
 
 
 class EPICTestMeter:

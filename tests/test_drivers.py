@@ -80,3 +80,22 @@ def test_data_benchmark_end_to_end(tmp_path):
     cfg.BENCHMARK.NUM_EPOCHS = 1
     stats = benchmark_data_loading(cfg)
     assert stats["batches_per_sec"] > 0
+
+
+def test_merge_into_template_classifier_drop():
+    """Backbone tensors load; mismatched classifier keeps random init
+    (reference classifier resize/drop, timesformer_helpers.py:150-167)."""
+    from vtm.checkpoints.checkpoint import merge_into_template
+
+    template = {
+        "blocks_0": {"kernel": np.zeros((4, 4), np.float32)},
+        "head": {"kernel": np.zeros((4, 5), np.float32), "bias": np.zeros(5, np.float32)},
+    }
+    converted = {
+        "blocks_0": {"kernel": np.ones((4, 4), np.float32)},
+        "head": {"kernel": np.ones((4, 7), np.float32), "bias": np.ones(7, np.float32)},
+    }
+    merged, loaded, kept = merge_into_template(template, converted)
+    assert loaded == 1 and kept == 2
+    assert merged["blocks_0"]["kernel"].sum() == 16  # loaded
+    assert merged["head"]["kernel"].sum() == 0  # kept init

@@ -89,6 +89,40 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
     return restored["params"], int(restored["epoch"])
 
 
+def merge_into_template(template, converted) -> tuple:
+    """Overlay converted weights onto the initialised param tree.
+
+    Leaves present in both with matching shapes take the checkpoint
+    value; shape mismatches or missing keys keep the random init — the
+    reference's classifier resize/drop + partial-load behavior
+    (timesformer_helpers.py:150-167, checkpoint.py clear-name paths).
+    Returns (params, num_loaded, num_kept_init).
+    """
+    flat_t = dict(
+        jax.tree_util.tree_flatten_with_path(template)[0]
+    )
+    flat_c = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+    loaded, kept = 0, 0
+    out = {}
+    for path, leaf in flat_t.items():
+        cand = flat_c.get(path)
+        if cand is not None and tuple(np.shape(cand)) == tuple(np.shape(leaf)):
+            out[path] = np.asarray(cand)
+            loaded += 1
+        else:
+            name = "/".join(str(getattr(p, "key", p)) for p in path)
+            logger.warning(
+                "checkpoint: keeping random init for %s (%s)",
+                name,
+                "shape mismatch" if cand is not None else "missing",
+            )
+            out[path] = leaf
+            kept += 1
+    treedef = jax.tree_util.tree_structure(template)
+    ordered = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(template)[0]]
+    return jax.tree_util.tree_unflatten(treedef, ordered), loaded, kept
+
+
 def load_test_checkpoint(cfg, bundle):
     """Load TEST.CHECKPOINT_FILE_PATH into the model bundle, converting
     torch checkpoints via the per-model converter (reference
@@ -104,19 +138,29 @@ def load_test_checkpoint(cfg, bundle):
 
     sd = convert.load_torch_state_dict(path)
     if bundle.name == "VideoMAE":
-        bundle.params = convert.convert_videomae(sd, depth=bundle.config.depth)
+        converted = convert.convert_videomae(sd, depth=bundle.config.depth)
     elif bundle.name == "ViViT":
-        bundle.params = convert.convert_vivit(sd, depth=bundle.config.num_hidden_layers)
+        converted = convert.convert_vivit(sd, depth=bundle.config.num_hidden_layers)
     elif bundle.name == "TimeSformer":
-        bundle.params = convert.convert_timesformer(
+        converted = convert.convert_timesformer(
             sd,
             depth=bundle.config.depth,
             num_frames=bundle.config.num_frames,
             spatial_tokens=bundle.config.spatial_tokens,
         )
     elif bundle.name == "Motionformer":
-        bundle.params = convert.convert_motionformer(sd, depth=bundle.config.depth)
+        converted = convert.convert_motionformer(sd, depth=bundle.config.depth)
     else:
         raise NotImplementedError(bundle.name)
-    logger.info("Loaded torch checkpoint %s", path)
+    if bundle.params is not None:
+        bundle.params, loaded, kept = merge_into_template(bundle.params, converted)
+        logger.info(
+            "Loaded torch checkpoint %s (%d tensors, %d kept init)",
+            path,
+            loaded,
+            kept,
+        )
+    else:
+        bundle.params = converted
+        logger.info("Loaded torch checkpoint %s", path)
     return bundle

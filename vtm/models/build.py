@@ -38,8 +38,17 @@ class ModelBundle:
     name: str
 
     def apply(self, x, rng: Optional[jax.Array] = None, trace_source: bool = False):
-        """Forward pass. x: [B, T, H, W, C] channels-last."""
-        out, state = self.module.apply({"params": self.params}, x, rng=rng)
+        """Forward pass. x: [B, T, H, W, C] channels-last.
+        ``trace_source=True`` enables source tracking for this call even
+        if the policy was built without it (notebook flow)."""
+        module = self.module
+        if trace_source and not self.policy.trace_source:
+            import dataclasses
+
+            module = module.clone(
+                policy=dataclasses.replace(self.policy, trace_source=True)
+            )
+        out, state = module.apply({"params": self.params}, x, rng=rng)
         return out, state
 
     @property

@@ -178,7 +178,7 @@ def train(cfg):
     params = replicate(mesh, bundle.params)
     opt_state = restored_opt if restored_opt is not None else tx.init(params)
     train_step = make_train_step(
-        bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=None
+        bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=mesh
     )
     eval_step = make_eval_step(bundle.module, mesh)
 

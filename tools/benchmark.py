@@ -42,11 +42,16 @@ def benchmark_data_loading(cfg) -> dict:
                     logger,
                 )
     elapsed = time.perf_counter() - start
+    import resource
+
+    # peak RSS in bytes (the reference reports RAM usage, utils/benchmark.py)
+    peak_rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
     stats = {
         "split": "data_benchmark",
         "total_batches": total_batches,
         "batches_per_sec": total_batches / elapsed,
         "clips_per_sec": total_batches * cfg.TRAIN.BATCH_SIZE / elapsed,
+        "peak_rss_bytes": peak_rss,
     }
     log_json_stats(stats, logger)
     return stats

@@ -38,6 +38,19 @@ def flop_count(module, params, sample: jax.Array) -> float:
     return float(cost.get("flops", 0.0))
 
 
+def device_memory_stats() -> dict:
+    """HBM usage of device 0 (the reference's gpu_mem_usage/nvidia-smi
+    analog, misc.py:55-78); empty when the backend doesn't report."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return {
+            "hbm_bytes_in_use": stats.get("bytes_in_use", 0),
+            "hbm_bytes_limit": stats.get("bytes_limit", 0),
+        }
+    except Exception:
+        return {}
+
+
 def log_model_info(bundle, cfg, use_train_input: bool = False) -> dict:
     t = cfg.DATA.NUM_FRAMES
     s = cfg.DATA.TRAIN_CROP_SIZE if use_train_input else cfg.DATA.TEST_CROP_SIZE
@@ -48,6 +61,7 @@ def log_model_info(bundle, cfg, use_train_input: bool = False) -> dict:
         "params": params_count(bundle.params),
         "param_bytes": params_bytes(bundle.params),
         "gflops_per_clip": round(flops / 1e9, 3),
+        **device_memory_stats(),
     }
     log_json_stats({"split": "model_info", **stats}, logger)
     return stats

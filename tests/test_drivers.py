@@ -99,3 +99,38 @@ def test_merge_into_template_classifier_drop():
     assert loaded == 1 and kept == 2
     assert merged["blocks_0"]["kernel"].sum() == 16  # loaded
     assert merged["head"]["kernel"].sum() == 0  # kept init
+
+
+@pytest.mark.parametrize("mode,extra", [
+    ("drop", []),
+    ("hybrid", ["TOME.THRESHOLD", "0.4"]),
+    ("random_merge", []),
+    ("merge", ["TOME.HEAD_AGGREGATION", "concat"]),
+])
+def test_test_net_tome_modes(tmp_path, mode, extra):
+    from tools.test_net import test as run_test
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    cfg.merge_from_list(["TOME.MODE", mode] + extra)
+    results = run_test(cfg)
+    assert 0.0 <= float(results[0][1]["top1_acc"]) <= 100.0
+
+
+def test_test_net_temporal_clip_sweep(tmp_path):
+    """TEST.NUM_TEMPORAL_CLIPS sweep (reference run_net.py:29-35)."""
+    from tools.test_net import test as run_test
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    cfg.TEST.NUM_TEMPORAL_CLIPS = [1, 2]
+    results = run_test(cfg)
+    assert [v for v, _ in results] == [1, 2]
+
+
+def test_test_net_three_crop(tmp_path):
+    from tools.test_net import test as run_test
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    cfg.TEST.NUM_SPATIAL_CROPS = 3
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    results = run_test(cfg)
+    assert 0.0 <= float(results[0][1]["top1_acc"]) <= 100.0

@@ -39,11 +39,23 @@ def perform_test(loader, eval_step, params, meter, cfg, batch_size: int):
     is_epic = cfg.TEST.DATASET.lower() == "epickitchens" or isinstance(
         cfg.EPICKITCHENS.NUM_CLASSES, (list, tuple)
     )
+    needs_rng = cfg.TOME.ENABLE and cfg.TOME.MODE in ("random_merge", "random_drop")
+    if needs_rng:
+        import jax
+
+        base_key = jax.random.key(cfg.RNG_SEED)
     meter.iter_tic()
     for cur_iter, batch in enumerate(loader):
         frames, n_valid = pad_to_multiple(batch["frames"], batch_size)
         meter.data_toc()
-        logits = eval_step(params, jnp.asarray(frames))
+        if needs_rng:
+            import jax
+
+            logits = eval_step(
+                params, jnp.asarray(frames), jax.random.fold_in(base_key, cur_iter)
+            )
+        else:
+            logits = eval_step(params, jnp.asarray(frames))
         if is_epic:
             verb = np.asarray(logits[0])[:n_valid]
             noun = np.asarray(logits[1])[:n_valid]
@@ -91,7 +103,12 @@ def test(cfg):
 
         mesh = make_mesh()
         params = replicate(mesh, bundle.params)
-        eval_step = make_eval_step(bundle.module, mesh)
+        eval_step = make_eval_step(
+            bundle.module,
+            mesh,
+            with_rng=cfg.TOME.ENABLE
+            and cfg.TOME.MODE in ("random_merge", "random_drop"),
+        )
 
         loader = construct_loader(cfg, "test")
         num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS

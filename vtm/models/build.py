@@ -80,7 +80,8 @@ class ModelBundle:
         self.module = self.module.clone(policy=policy)
 
     def init_params(self, rng: jax.Array, sample: jax.Array):
-        self.params = self.module.init(rng, sample)["params"]
+        # the merge rng is only consumed by random merge/drop modes
+        self.params = self.module.init(rng, sample, rng=rng)["params"]
         return self.params
 
 

@@ -51,13 +51,24 @@ def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None):
     )
 
 
-def make_eval_step(module, mesh=None):
-    def step(params, frames):
-        logits, _ = module.apply({"params": params}, frames)
-        return logits
+def make_eval_step(module, mesh=None, with_rng: bool = False):
+    """Jitted forward. ``with_rng=True`` adds a PRNG-key argument for the
+    random merge/drop modes (the reference's torch.rand draws)."""
+    if with_rng:
+
+        def step(params, frames, rng):
+            logits, _ = module.apply({"params": params}, frames, rng=rng)
+            return logits
+
+    else:
+
+        def step(params, frames):
+            logits, _ = module.apply({"params": params}, frames)
+            return logits
 
     if mesh is None:
         return jax.jit(step)
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
-    return jax.jit(step, in_shardings=(rep, dat))
+    shardings = (rep, dat, rep) if with_rng else (rep, dat)
+    return jax.jit(step, in_shardings=shardings)

@@ -77,7 +77,7 @@ class TrajectoryAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, num_frames: int, size=None, with_metric: bool = True):
+    def __call__(self, x, num_frames: int, size=None, with_metric: bool = True, rng=None):
         c = self.config
         b, n, d = x.shape
         h = c.num_heads
@@ -120,6 +120,7 @@ class TrajectoryAttention(nn.Module):
                     q_f, k_f, v_f2,
                     num_landmarks=c.approx_attn_dim,
                     num_frames=f,
+                    rng=rng,
                 )
             elif c.approx_attn_type == "performer":
                 xfa = approx.performer_attention(q_f, k_f, v_f2, f, m=256)
@@ -189,7 +190,7 @@ class JointAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, num_frames: int, size=None, with_metric: bool = True):
+    def __call__(self, x, num_frames: int, size=None, with_metric: bool = True, rng=None):
         c = self.config
         h = c.num_heads
         qkv = nn.Dense(x.shape[-1] * 3, use_bias=c.qkv_bias, dtype=self.dtype, name="qkv")(x)
@@ -217,10 +218,16 @@ class MotionformerBlock(nn.Module):
             c.attn_layer
         ]
         attn_size = state.attn_size(self.policy.prop_attn)
+        # orthoformer's initial landmark is random in the reference
+        # (orthoformer_helper.py:33); thread the forward key when given
+        attn_rng = (
+            state.next_rng() if c.approx_attn_type == "orthoformer" else None
+        )
         out, metric = attn_cls(c, dtype=self.dtype, name="attn")(
             LayerNorm(epsilon=c.layer_norm_eps, name="norm1")(x),
             num_frames,
             attn_size,
+            rng=attn_rng,
         )
         x = x + out
 

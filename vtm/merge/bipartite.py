@@ -323,8 +323,11 @@ def merge_wavg(
         size = jnp.ones_like(x[..., :1])
     if m is None:
         return x, size
-    xm = merge(m, x * size, mode="sum", threshold=threshold)
-    size = merge(m, size, mode="sum", threshold=threshold)
+    # one fused segment-sum over [x*size, size] (channel concat) instead
+    # of two merges — halves the one-hot contractions on TPU
+    packed = jnp.concatenate([x * size, size.astype(x.dtype)], axis=-1)
+    packed = merge(m, packed, mode="sum", threshold=threshold)
+    xm, size = packed[..., :-1], packed[..., -1:]
     return xm / size, size
 
 

@@ -134,3 +134,22 @@ def test_test_net_three_crop(tmp_path):
     cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
     results = run_test(cfg)
     assert 0.0 <= float(results[0][1]["top1_acc"]) <= 100.0
+
+
+def test_run_net_train_then_test_uses_trained_checkpoint(tmp_path):
+    """After TRAIN.ENABLE, testing picks up the last training checkpoint
+    (reference load_test_checkpoint fallback, checkpoint.py:678-749)."""
+    from tools.test_net import test as run_test
+    from tools.train_net import train
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    cfg.TRAIN.DATASET = "synthetic"
+    cfg.TRAIN.BATCH_SIZE = 8
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.TRAIN.CHECKPOINT_PERIOD = 1
+    cfg.TRAIN.EVAL_PERIOD = 10
+    train(cfg)
+    results = run_test(cfg)  # no TEST.CHECKPOINT_FILE_PATH set
+    assert results

@@ -83,9 +83,11 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
             restored = ckptr.restore(os.path.abspath(path), with_opt)
             return restored["params"], restored["opt_state"], int(restored["epoch"])
         except Exception:  # older checkpoint without optimizer state
-            restored = ckptr.restore(os.path.abspath(path), target)
+            restored = ckptr.restore(os.path.abspath(path))
             return restored["params"], None, int(restored["epoch"])
-    restored = ckptr.restore(os.path.abspath(path), target)
+    # params-only restore of a checkpoint that may carry opt_state:
+    # restore without a target (plain dict tree) and take what we need
+    restored = ckptr.restore(os.path.abspath(path))
     return restored["params"], int(restored["epoch"])
 
 
@@ -129,8 +131,18 @@ def load_test_checkpoint(cfg, bundle):
     load_test_checkpoint, checkpoint.py:678-749)."""
     path = cfg.TEST.CHECKPOINT_FILE_PATH
     if not path:
-        logger.info("No TEST.CHECKPOINT_FILE_PATH given — random init")
-        return bundle
+        # reference fallback order (checkpoint.py:678-749): last training
+        # checkpoint in OUTPUT_DIR, then TRAIN.CHECKPOINT_FILE_PATH
+        last = get_last_checkpoint(cfg.OUTPUT_DIR)
+        if last is not None:
+            bundle.params, _ = load_checkpoint(last, bundle.params)
+            logger.info("Testing with last train checkpoint %s", last)
+            return bundle
+        if cfg.TRAIN.CHECKPOINT_FILE_PATH:
+            path = cfg.TRAIN.CHECKPOINT_FILE_PATH
+        else:
+            logger.info("No checkpoint found — random init")
+            return bundle
     if os.path.isdir(path):  # native orbax checkpoint
         bundle.params, _ = load_checkpoint(path, bundle.params)
         return bundle

@@ -17,6 +17,56 @@ def test_dryrun_multichip_8():
     assert "ok" in out
 
 
+def test_donation_alias_correctness():
+    """SURVEY §4 sanitizer analog: the donated train step must (a) produce
+    the same numbers as an un-donated run and (b) actually invalidate the
+    donated buffers (no silent aliasing back to live arrays)."""
+    script = f"""
+import sys; sys.path.insert(0, {str(REPO)!r})
+import numpy as np, jax, jax.numpy as jnp
+from vtm.config import get_cfg
+from vtm.merge.policy import MergePolicy
+from vtm.models.videomae import VideoMAE, VideoMAEConfig
+from vtm.parallel.mesh import make_mesh, replicate, shard_batch
+from vtm.train.optimizer import construct_optimizer
+from vtm.train.train_step import make_train_step
+
+config = VideoMAEConfig(img_size=32, patch_size=16, num_frames=4, tubelet_size=2,
+                        embed_dim=32, depth=2, num_heads=2, mlp_ratio=2.0, num_classes=5)
+module = VideoMAE(config=config, policy=MergePolicy(rs=(1, 1), mode='merge'))
+rng = np.random.default_rng(0)
+frames_np = rng.standard_normal((8, 4, 32, 32, 3)).astype(np.float32)
+labels_np = rng.integers(0, 5, size=(8,))
+params0 = module.init(jax.random.key(0), jnp.asarray(frames_np[:1]))['params']
+cfg = get_cfg(); cfg.SOLVER.OPTIMIZING_METHOD = 'adamw'
+tx, _ = construct_optimizer(cfg, params0, num_layers=config.depth)
+
+# un-donated single-device run
+plain = make_train_step(module, tx, 'cross_entropy', multi_head=False, mesh=None)
+p_plain, _, loss_plain, logits_plain, _ = plain(
+    params0, tx.init(params0), jnp.asarray(frames_np), jnp.asarray(labels_np), None)
+
+# donated mesh run on fresh buffers
+mesh = make_mesh()
+params = replicate(mesh, params0)
+opt_state = tx.init(params)
+donated_leaf = jax.tree_util.tree_leaves(params)[0]
+step = make_train_step(module, tx, 'cross_entropy', multi_head=False, mesh=mesh)
+p_don, _, loss_don, logits_don, _ = step(
+    params, opt_state, shard_batch(mesh, jnp.asarray(frames_np)),
+    shard_batch(mesh, jnp.asarray(labels_np)), None)
+
+np.testing.assert_allclose(float(loss_plain), float(loss_don), rtol=1e-5, atol=1e-5)
+np.testing.assert_allclose(np.asarray(logits_plain), np.asarray(logits_don), rtol=1e-4, atol=1e-4)
+for a, b in zip(jax.tree_util.tree_leaves(p_plain), jax.tree_util.tree_leaves(p_don)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+assert donated_leaf.is_deleted(), 'donated param buffer still live — donation silently dropped'
+print('donation-parity ok')
+"""
+    out = run_in_cpu_mesh(script)
+    assert "donation-parity ok" in out
+
+
 def test_data_parallel_eval_matches_single_device():
     script = f"""
 import sys; sys.path.insert(0, {str(REPO)!r})

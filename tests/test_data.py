@@ -46,6 +46,40 @@ def test_get_start_end_idx_matches_reference():
         assert got == tuple(ref)
 
 
+def test_get_multiple_start_end_idx_matches_reference():
+    """Multi-clip window sampling with gap constraints
+    (reference decoder.py:81-185), deterministic and seeded-random."""
+    import math
+    import random
+
+    from conftest import load_reference_module
+    from vtm.data.decoder import get_multiple_start_end_idx
+
+    ref_decoder = load_reference_module("slowfast/datasets/decoder.py", "ref_decoder")
+
+    cases = [
+        # (video_size, clip_sizes, clip_idx, num_clips, min_d, max_d, offset)
+        (300, [64], 0, 10, 0, math.inf, False),
+        (300, [64, 32], 3, 10, 0, math.inf, False),
+        (300, [64, 32, 16], 9, 10, 0, math.inf, True),
+        (100, [32.5, 12], 2, 5, 0, math.inf, False),
+        (50, [64, 32], 0, 1, 0, math.inf, True),
+    ]
+    for vs, cs, ci, nc, mind, maxd, off in cases:
+        ref = ref_decoder.get_multiple_start_end_idx(vs, cs, ci, nc, mind, maxd, off)
+        got = get_multiple_start_end_idx(vs, cs, ci, nc, mind, maxd, off)
+        np.testing.assert_allclose(got, np.asarray(ref))
+
+    # random sampling draws via the global `random` module in the same
+    # order, including the constraint-retry loops
+    for seed, (mind, maxd) in [(0, (0, math.inf)), (1, (10, 200)), (2, (120, 130))]:
+        random.seed(seed)
+        ref = ref_decoder.get_multiple_start_end_idx(300, [64, 32], -1, 10, mind, maxd)
+        random.seed(seed)
+        got = get_multiple_start_end_idx(300, [64, 32], -1, 10, mind, maxd)
+        np.testing.assert_allclose(got, np.asarray(ref))
+
+
 def test_temporal_sampling_matches_reference():
     from conftest import load_reference_module
     import torch
@@ -143,3 +177,66 @@ def test_selective_decode_matches_full_read(tmp_path):
         s, e, _ = decoder.get_start_end_idx(frames.shape[0], clip_size, clip_idx, 5)
         ref = decoder.temporal_sampling(frames, s, e, 8)
         np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("src_fps", [12, 24, 30, 60])
+def test_decode_fps_retarget(tmp_path, src_fps):
+    """Source fps != target 30 must stretch/shrink the clip window like
+    the reference pyav path (decoder.py:378-489): clip_size scales by
+    fps/target_fps, so the sampled WALL-CLOCK span is fps-invariant."""
+    cv2 = pytest.importorskip("cv2")
+    from vtm.data import decoder
+
+    path = str(tmp_path / f"clip{src_fps}.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), src_fps, (32, 32))
+    rng = np.random.default_rng(1)
+    # encode 4 seconds of video at the source fps
+    for _ in range(4 * src_fps):
+        w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    w.release()
+
+    got = decoder.decode(path, 4, 8, clip_idx=1, num_clips=3)
+    assert got is not None and got.shape == (8, 32, 32, 3)
+
+    frames, fps = decoder.read_video_cv2(path)
+    assert abs(fps - src_fps) < 0.5, "metadata fps sanity"
+    clip_size = 4 * 8 / 30 * fps  # retargeted window length in frames
+    s, e, _ = decoder.get_start_end_idx(frames.shape[0], clip_size, 1, 3)
+    ref = decoder.temporal_sampling(frames, s, e, 8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_decode_lying_framecount_metadata(tmp_path, monkeypatch):
+    """K400 mp4s lie about their frame count; when the window decode
+    comes up short against the metadata, decode() must fall back to the
+    full-read path and still return a clip."""
+    cv2 = pytest.importorskip("cv2")
+    from vtm.data import decoder
+
+    path = str(tmp_path / "liar.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+    rng = np.random.default_rng(2)
+    for _ in range(40):
+        w.write(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8))
+    w.release()
+
+    real_meta = decoder._video_meta
+
+    def lying_meta(p):
+        fps, total = real_meta(p)
+        return fps, total * 4  # metadata claims 4x the real length
+
+    monkeypatch.setattr(decoder, "_video_meta", lying_meta)
+    got = decoder.decode(path, 4, 8, clip_idx=2, num_clips=3)
+    assert got is not None and got.shape == (8, 32, 32, 3)
+
+
+def test_decode_corrupt_file_returns_none(tmp_path):
+    """Decode failure must return None so dataset retry-with-replacement
+    engages (reference kinetics.py:282-309)."""
+    from vtm.data import decoder
+
+    path = str(tmp_path / "corrupt.mp4")
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 512)
+    assert decoder.decode(path, 4, 8, clip_idx=0, num_clips=3) is None

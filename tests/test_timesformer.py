@@ -71,6 +71,39 @@ def test_unmerged_logits_match_hf():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-4, atol=2e-4)
 
 
+def test_merged_forward_matches_torch_oracle(ref_merge):
+    """Full merged-forward logits parity vs a torch re-derivation of the
+    reference TimeSformer ToMe pipeline (tome/patch/timesformer.py:12-109):
+    divided space-time attention, per-frame CLS strip + frame-average,
+    the ``attn[:, :, 1:, 1:]`` proportional bias, per-frame merging."""
+    from torch_oracles import timesformer_tome_forward
+
+    hf = _hf_tiny()
+    sd = dict(hf.state_dict())
+    params = convert_timesformer(
+        sd, depth=TINY.depth, num_frames=TINY.num_frames,
+        spatial_tokens=TINY.spatial_tokens,
+    )
+    policy = MergePolicy(rs=(1, 1), mode="merge", prop_attn=True)
+    model = TimeSformer(config=TINY, policy=policy)
+
+    rng = np.random.default_rng(11)
+    video = rng.standard_normal((2, TINY.num_frames, 32, 32, 3)).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+
+    ref_logits, ref_tokens = timesformer_tome_forward(
+        sd, video, rs=[1, 1], ref_merge=ref_merge,
+        depth=TINY.depth, heads=TINY.num_heads, embed_dim=TINY.embed_dim,
+        patch=TINY.patch_size,
+    )
+    # per-frame P went 4 -> 2; sequence = 1 + P*T
+    assert ref_tokens == 1 + 2 * TINY.num_frames
+    assert state.size.shape == (2 * TINY.num_frames, 2, 1)
+    np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-3, atol=2e-3)
+
+
 def test_merged_per_frame_shrinks():
     policy = MergePolicy(rs=(1, 1), mode="merge", prop_attn=True)
     model = TimeSformer(config=TINY, policy=policy)

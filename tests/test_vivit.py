@@ -69,6 +69,36 @@ def test_unmerged_logits_match_hf():
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_merged_forward_matches_torch_oracle(ref_merge):
+    """Full merged-forward logits parity vs a torch re-derivation of the
+    reference ViViT ToMe pipeline (tome/patch/vivit.py:17-130): CLS-
+    protected matching, full-column prop-attn bias, merge between the
+    attention residual and the MLP."""
+    from torch_oracles import vivit_tome_forward
+
+    hf = _hf_tiny()
+    sd = dict(hf.state_dict())
+    params = convert_vivit(sd, depth=TINY.num_hidden_layers)
+    policy = MergePolicy(rs=(1, 1), mode="merge", prop_attn=True, class_token=True)
+    model = ViViT(config=TINY, policy=policy)
+
+    rng = np.random.default_rng(7)
+    video = rng.standard_normal(
+        (2, TINY.num_frames, TINY.image_size, TINY.image_size, 3)
+    ).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+
+    ref_logits, ref_tokens = vivit_tome_forward(
+        sd, video, rs=[1, 1], ref_merge=ref_merge,
+        depth=TINY.num_hidden_layers, heads=TINY.num_attention_heads,
+        embed_dim=TINY.hidden_size, tubelet_size=TINY.tubelet_size,
+    )
+    assert int(state.size.shape[1]) == ref_tokens  # size covers all tokens incl. CLS
+    np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-3, atol=2e-3)
+
+
 def test_merged_cls_protected():
     """With merging on, the CLS token must never be merged: sizes stay 1
     at position 0 (reference: merge.py:59-62,71-73)."""

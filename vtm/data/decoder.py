@@ -49,6 +49,70 @@ def get_start_end_idx(
     return start_idx, end_idx, start_idx / delta if delta != 0 else 0.0
 
 
+def get_multiple_start_end_idx(
+    video_size: int,
+    clip_sizes,
+    clip_idx: int,
+    num_clips_uniform: int,
+    min_delta: float = 0,
+    max_delta: float = math.inf,
+    use_offset: bool = False,
+) -> np.ndarray:
+    """Sample one clip window per entry of ``clip_sizes`` with pairwise
+    gap constraints (reference decoder.py:81-185 — the multi-pathway /
+    contrastive sampling path).
+
+    Each clip is drawn like :func:`get_start_end_idx`; when ``clip_idx``
+    is -1 the draw is retried (up to 100x per clip, 100x overall) until
+    every gap between consecutive sorted windows lies in
+    [min_delta, max_delta], keeping the best-scoring draw otherwise.
+    Returns [n_clips, 3]: (start, end, delta to previous clip).
+    """
+
+    def draw_once():
+        windows = np.empty((0, 2))
+        gaps = np.empty((0,))
+        for clip_size in clip_sizes:
+            for attempt in range(100):
+                max_start = max(video_size - clip_size, 0)
+                if clip_idx == -1:
+                    start = random.uniform(0, max_start)
+                elif use_offset:
+                    if num_clips_uniform == 1:
+                        start = math.floor(max_start / 2)
+                    else:
+                        start = clip_idx * math.floor(
+                            max_start / (num_clips_uniform - 1)
+                        )
+                else:
+                    start = max_start * clip_idx / num_clips_uniform
+                candidate = np.append(
+                    windows, [[start, start + clip_size - 1]], axis=0
+                )
+                if windows.shape[0] < 1:
+                    windows = candidate
+                    break
+                ordered = np.sort(candidate, 0)
+                gaps = ordered[1:, 0] - ordered[:-1, 1]
+                bad = any(gaps < min_delta) or any(gaps > max_delta)
+                if not bad or attempt == 99:
+                    windows = ordered
+                    break
+        return windows, gaps
+
+    best, best_gaps, best_score = None, None, -math.inf
+    for _ in range(100):
+        windows, gaps = draw_once()
+        ok = not (any(gaps < min_delta) or any(gaps > max_delta))
+        if ok or clip_idx != -1:
+            best, best_gaps = windows, gaps
+            break
+        score = np.r_[gaps[gaps < min_delta], -gaps[gaps > max_delta]].sum()
+        if score > best_score:
+            best, best_gaps, best_score = windows, gaps, score
+    return np.c_[best, np.concatenate(([0], best_gaps))]
+
+
 def read_video_cv2(path: str) -> Tuple[Optional[np.ndarray], float]:
     """Decode all frames of a video to RGB uint8 [T, H, W, 3] + fps."""
     import cv2

@@ -11,14 +11,21 @@ Prints ONE JSON line:
   {"metric": ..., "value": clips/sec merged, "unit": "clips/s",
    "vs_baseline": merged/unmerged speedup}
 
+and writes BENCH_DETAIL.json next to it so the FLOP-ideal claim is
+auditable: XLA-counted FLOPs for both programs, effective TFLOP/s, MFU
+against an on-chip bf16 matmul peak probe, the static token schedule,
+and the reference's own max-merging row (TOME.R_VALUE 784,
+reference experiments.sh:33) as the documented high-ratio config.
+
 Timing notes: remote-TPU backends may not block in block_until_ready,
 so each measurement chains ``iters`` forwards inside one jitted
-lax.scan (data stays on device, iterations serialize through a
-zero-scaled logits feedback) and fetches a scalar at the end; the
-host round-trip is measured separately and subtracted.
+lax.scan (data stays on device, iterations serialize through a live
+accumulator + optimization_barrier) and fetches a scalar at the end;
+the host round-trip is measured separately and subtracted.
 
 Env knobs: VTM_BENCH_ITERS (default 20), VTM_BENCH_BATCH (default 8),
-VTM_BENCH_R (default 150), VTM_BENCH_DTYPE (default bfloat16).
+VTM_BENCH_R (default 150), VTM_BENCH_DTYPE (default bfloat16),
+VTM_BENCH_SKIP_MAX=1 to skip the max-merging row.
 """
 
 from __future__ import annotations
@@ -31,7 +38,8 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
 
 from vtm.utils.env import setup_environment  # noqa: E402
 
@@ -54,6 +62,23 @@ def measure(module, params, x, iters: int, rtt: float) -> float:
     return x.shape[0] * iters / secs
 
 
+def program_flops(module, params, x) -> float:
+    """XLA-counted FLOPs of one jitted forward."""
+    fn = jax.jit(lambda p, v: module.apply({"params": p}, v)[0])
+    cost = fn.lower(params, x).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", float("nan")))
+
+
+def peak_matmul_tflops(rtt: float) -> float:
+    """On-chip bf16 matmul peak probe (for an honest MFU denominator)."""
+    m = jnp.ones((4096, 4096), jnp.bfloat16)
+    iters = 50
+    secs = chained_seconds(lambda v: v @ v, m, iters, rtt=rtt)
+    return 2 * 4096**3 * iters / secs / 1e12
+
+
 def main():
     iters = int(os.environ.get("VTM_BENCH_ITERS", "20"))
     batch = int(os.environ.get("VTM_BENCH_BATCH", "8"))
@@ -72,11 +97,8 @@ def main():
     params = base.init(jax.random.key(0), x[:1])["params"]
 
     # headline config: constant r, PROP_ATTN False (experiments.sh:33)
-    merged = VideoMAE(
-        config=config,
-        policy=MergePolicy(rs=(r,) * 12, mode="merge", prop_attn=False),
-        dtype=dtype,
-    )
+    merged_policy = MergePolicy(rs=(r,) * 12, mode="merge", prop_attn=False)
+    merged = VideoMAE(config=config, policy=merged_policy, dtype=dtype)
 
     rtt = host_roundtrip_latency()
     base_cps = measure(base, params, x, iters, rtt)
@@ -92,6 +114,59 @@ def main():
             }
         )
     )
+
+    # ---- auditable sidecar ------------------------------------------
+    detail = {
+        "device": str(jax.devices()[0]),
+        "batch": batch,
+        "iters": iters,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "baseline_clips_per_sec": round(base_cps, 2),
+        "merged_clips_per_sec": round(merged_cps, 2),
+        "speedup": round(merged_cps / base_cps, 4),
+        "token_schedule_r": list(merged_policy.rs),
+        "token_counts": list(merged_policy.token_counts(config.tokens)),
+    }
+    try:
+        flops_base = program_flops(base, params, x)
+        flops_merged = program_flops(merged, params, x)
+        peak = peak_matmul_tflops(rtt)
+        eff_base = flops_base * base_cps / batch / 1e12
+        eff_merged = flops_merged * merged_cps / batch / 1e12
+        detail.update(
+            flops_per_clip_baseline=flops_base / batch,
+            flops_per_clip_merged=flops_merged / batch,
+            flop_ideal_speedup=round(flops_base / flops_merged, 4),
+            pct_of_flop_ideal=round(
+                (merged_cps / base_cps) / (flops_base / flops_merged) * 100, 1
+            ),
+            peak_bf16_tflops_probe=round(peak, 1),
+            eff_tflops_baseline=round(eff_base, 1),
+            eff_tflops_merged=round(eff_merged, 1),
+            mfu_baseline=round(eff_base / peak, 4),
+            mfu_merged=round(eff_merged / peak, 4),
+        )
+    except Exception as e:  # cost analysis is best-effort on some backends
+        detail["flops_error"] = f"{type(e).__name__}: {e}"
+
+    if os.environ.get("VTM_BENCH_SKIP_MAX") != "1":
+        # the reference's own max-merging row: TOME.R_VALUE 784
+        try:
+            max_policy = MergePolicy(rs=(784,) * 12, mode="merge", prop_attn=False)
+            max_cps = measure(
+                VideoMAE(config=config, policy=max_policy, dtype=dtype),
+                params, x, iters, rtt,
+            )
+            detail["max_merging"] = {
+                "r": 784,
+                "clips_per_sec": round(max_cps, 2),
+                "vs_baseline": round(max_cps / base_cps, 4),
+                "token_counts": list(max_policy.token_counts(config.tokens)),
+            }
+        except Exception as e:
+            detail["max_merging"] = {"error": f"{type(e).__name__}: {e}"}
+
+    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1) + "\n")
 
 
 if __name__ == "__main__":

@@ -91,6 +91,103 @@ def test_temporal_sampling_matches_reference():
     np.testing.assert_allclose(got, ref.numpy())
 
 
+def test_random_resized_crop_matches_reference(ref_transform):
+    """Crop geometry + bilinear resize parity for the finetune recipe's
+    RandomResizedCrop (reference transform.py:502-576), seeded."""
+    import random
+
+    import torch
+
+    rng = np.random.default_rng(3)
+    frames = rng.random((4, 120, 160, 3)).astype(np.float32)
+    from vtm.data.transform import random_resized_crop
+
+    for seed in range(5):
+        random.seed(seed)
+        np.random.seed(seed)
+        ref = ref_transform.random_resized_crop(
+            torch.from_numpy(frames).permute(3, 0, 1, 2),  # C T H W
+            96, 112, scale=(0.5, 1.0), ratio=(0.75, 1.3333),
+        )
+        random.seed(seed)
+        np.random.seed(seed)
+        got = random_resized_crop(frames, 96, 112, scale=(0.5, 1.0), ratio=(0.75, 1.3333))
+        np.testing.assert_allclose(
+            got, ref.permute(1, 2, 3, 0).numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_random_resized_crop_with_shift_matches_reference(ref_transform):
+    import random
+
+    import torch
+
+    rng = np.random.default_rng(4)
+    frames = rng.random((6, 120, 160, 3)).astype(np.float32)
+    from vtm.data.transform import random_resized_crop_with_shift
+
+    for seed in range(5):
+        random.seed(seed)
+        np.random.seed(seed)
+        ref = ref_transform.random_resized_crop_with_shift(
+            torch.from_numpy(frames).permute(3, 0, 1, 2),
+            96, 96, scale=(0.5, 1.0), ratio=(0.75, 1.3333),
+        )
+        random.seed(seed)
+        np.random.seed(seed)
+        got = random_resized_crop_with_shift(frames, 96, 96, scale=(0.5, 1.0), ratio=(0.75, 1.3333))
+        np.testing.assert_allclose(
+            got, ref.permute(1, 2, 3, 0).numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_color_jitter_matches_reference(ref_transform):
+    import torch
+
+    rng = np.random.default_rng(5)
+    frames = rng.random((3, 24, 24, 3)).astype(np.float32)
+    from vtm.data.transform import color_jitter
+
+    for seed in range(4):
+        np.random.seed(seed)
+        ref = ref_transform.color_jitter(
+            torch.from_numpy(frames).permute(0, 3, 1, 2),  # T C H W
+            img_brightness=0.4, img_contrast=0.3, img_saturation=0.2,
+        )
+        np.random.seed(seed)
+        got = color_jitter(frames, 0.4, 0.3, 0.2)
+        np.testing.assert_allclose(
+            got, ref.permute(0, 2, 3, 1).numpy(), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_relative_crop_wired_into_train_pipeline(tmp_path):
+    """The tome_train AUG keys (TRAIN_JITTER_SCALES_RELATIVE /
+    ASPECT_RELATIVE) must route the train path through
+    RandomResizedCrop: output is crop_size and differs from the
+    scale-jitter path under the same seed."""
+    import random
+
+    from vtm.data.transform import relative_crop_args, spatial_sampling
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE = [0.5, 1.0]
+    cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE = [0.75, 1.3333]
+    args = relative_crop_args(cfg, "train")
+    assert args["scale"] == [0.5, 1.0] and args["aspect_ratio"] == [0.75, 1.3333]
+    assert relative_crop_args(cfg, "test")["scale"] is None
+
+    rng = np.random.default_rng(6)
+    frames = rng.random((2, 120, 160, 3)).astype(np.float32)
+    random.seed(0)
+    np.random.seed(0)
+    out = spatial_sampling(
+        frames, spatial_idx=-1, min_scale=96, max_scale=120, crop_size=96,
+        random_horizontal_flip=False, **args,
+    )
+    assert out.shape == (2, 96, 96, 3)
+
+
 def test_tensor_normalize():
     frames = np.full((1, 2, 2, 3), 255, dtype=np.uint8)
     out = tensor_normalize(frames, [0.5, 0.5, 0.5], [0.25, 0.25, 0.25])

@@ -82,6 +82,39 @@ def test_data_benchmark_end_to_end(tmp_path):
     assert stats["batches_per_sec"] > 0
 
 
+def test_padded_eval_rows_never_reach_meter():
+    """pad_to_multiple duplicates row 0 to fill the mesh batch; the
+    meter must see exactly the n_valid real rows (a duplicated row would
+    double-count video 0's clip and corrupt its ensemble)."""
+    import sys
+
+    from vtm.eval.meters import TestMeter
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parents[1] / "tools"))
+    from test_net import perform_test
+
+    cfg = get_cfg()
+    cfg.TEST.DATASET = "synthetic"
+    num_videos, num_cls, batch_size = 3, 4, 4  # 3 rows -> padded to 4
+
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal((num_videos, 2, 8, 8, 3)).astype(np.float32)
+    labels = np.array([0, 1, 2])
+    loader = [{"frames": frames, "label": labels, "index": np.arange(num_videos)}]
+
+    def eval_step(params, x):
+        # content-dependent logits: padded duplicate rows produce real
+        # numbers, so any leak into the meter shifts video 0's ensemble
+        x = np.asarray(x)
+        return x.reshape(x.shape[0], -1)[:, :num_cls].astype(np.float32)
+
+    meter = TestMeter(num_videos, 1, num_cls, 1, "sum")
+    perform_test(loader, eval_step, None, meter, cfg, batch_size)
+    expected = frames.reshape(num_videos, -1)[:, :num_cls]
+    np.testing.assert_allclose(meter.video_preds, expected, rtol=1e-6)
+    np.testing.assert_array_equal(meter.clip_count, np.ones(num_videos))
+
+
 def test_merge_into_template_classifier_drop():
     """Backbone tensors load; mismatched classifier keeps random init
     (reference classifier resize/drop, timesformer_helpers.py:150-167)."""

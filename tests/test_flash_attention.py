@@ -28,16 +28,40 @@ def test_kernel_matches_reference(n, with_bias):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
-def test_kernel_gradients_match_reference():
-    b, h, n, d = 1, 2, 256, 64
+@pytest.mark.parametrize("n,with_bias", [(256, False), (300, True), (520, True)])
+def test_kernel_gradients_match_reference(n, with_bias):
+    """Fused backward kernel (dq/dk/dv/dbias, q-block accumulation) vs
+    the einsum reference vjp — including non-multiple-of-128 N (padded
+    queries/keys must contribute zero grad)."""
+    b, h, d = 1, 2, 64
     rng = np.random.default_rng(1)
     q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
     k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = (
+        jnp.asarray(np.log(rng.uniform(1, 5, (b, n))), jnp.float32)
+        if with_bias
+        else None
+    )
+    cot = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
 
-    g1 = jax.grad(lambda q_: tome_flash_attention(q_, k, v, None, 0.125).sum())(q)
-    g2 = jax.grad(lambda q_: _reference(q_, k, v, None, 0.125).sum())(q)
-    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5, atol=1e-5)
+    def loss(fn):
+        def inner(q_, k_, v_, b_):
+            return (fn(q_, k_, v_, b_, 0.125) * cot).sum()
+
+        return inner
+
+    got = jax.grad(loss(tome_flash_attention), argnums=(0, 1, 2) + ((3,) if with_bias else ()))(
+        q, k, v, bias
+    )
+    ref = jax.grad(loss(_reference), argnums=(0, 1, 2) + ((3,) if with_bias else ()))(
+        q, k, v, bias
+    )
+    names = ["dq", "dk", "dv", "dbias"]
+    for name, a, b_ in zip(names, got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4, err_msg=name
+        )
 
 
 def test_attention_core_dispatch_consistency():

@@ -112,7 +112,11 @@ def test(cfg):
 
         loader = construct_loader(cfg, "test")
         num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-        assert len(loader.dataset) % num_clips == 0
+        assert len(loader.dataset) % num_clips == 0, (
+            f"test dataset size {len(loader.dataset)} is not divisible by "
+            f"NUM_ENSEMBLE_VIEWS*NUM_SPATIAL_CROPS={num_clips}; check the "
+            "test csv / annotations (reference test_net.py:293-297)"
+        )
         num_videos = len(loader.dataset) // num_clips
         if isinstance(cfg.EPICKITCHENS.NUM_CLASSES, (list, tuple)) or (
             cfg.TEST.DATASET.lower() == "epickitchens"

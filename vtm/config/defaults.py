@@ -59,6 +59,7 @@ def get_cfg() -> CfgNode:
     _C.DATA.TRAIN_JITTER_SCALES = [256, 320]
     _C.DATA.TRAIN_JITTER_SCALES_RELATIVE = []
     _C.DATA.TRAIN_JITTER_ASPECT_RELATIVE = []
+    _C.DATA.TRAIN_JITTER_MOTION_SHIFT = False
     _C.DATA.TRAIN_CROP_SIZE = 224
     _C.DATA.TEST_CROP_SIZE = 256
     _C.DATA.TARGET_FPS = 30

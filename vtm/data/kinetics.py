@@ -119,6 +119,7 @@ class Kinetics:
             crop_size=crop_size,
             random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
             inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+            **transform.relative_crop_args(cfg, self.mode),
         )
         frames = transform.train_random_erase(cfg, frames, self.mode)
         frames = np.ascontiguousarray(frames, dtype=np.float32)

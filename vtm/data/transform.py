@@ -95,6 +95,146 @@ def horizontal_flip(prob: float, frames: np.ndarray) -> np.ndarray:
     return frames
 
 
+def _get_param_spatial_crop(
+    scale: Tuple[float, float],
+    ratio: Tuple[float, float],
+    height: int,
+    width: int,
+    num_repeat: int = 10,
+    log_scale: bool = True,
+    switch_hw: bool = False,
+) -> Tuple[int, int, int, int]:
+    """Inception-style crop-box sampling (reference transform.py:502-541),
+    preserving the reference's RNG call order exactly (random.uniform x2
+    then np.random.uniform) so seeded parity holds."""
+    for _ in range(num_repeat):
+        area = height * width
+        target_area = random.uniform(*scale) * area
+        if log_scale:
+            log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+            aspect_ratio = math.exp(random.uniform(*log_ratio))
+        else:
+            aspect_ratio = random.uniform(*ratio)
+        w = int(round(math.sqrt(target_area * aspect_ratio)))
+        h = int(round(math.sqrt(target_area / aspect_ratio)))
+        if np.random.uniform() < 0.5 and switch_hw:
+            w, h = h, w
+        if 0 < w <= width and 0 < h <= height:
+            i = random.randint(0, height - h)
+            j = random.randint(0, width - w)
+            return i, j, h, w
+    # fallback: central crop at the nearest valid aspect ratio
+    in_ratio = float(width) / float(height)
+    if in_ratio < min(ratio):
+        w = width
+        h = int(round(w / min(ratio)))
+    elif in_ratio > max(ratio):
+        h = height
+        w = int(round(h * max(ratio)))
+    else:
+        w, h = width, height
+    return (height - h) // 2, (width - w) // 2, h, w
+
+
+def random_resized_crop(
+    frames: np.ndarray,
+    target_height: int,
+    target_width: int,
+    scale: Tuple[float, float] = (0.8, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """Random-area crop + bilinear resize (reference transform.py:544-576;
+    the VideoMAE/ViViT finetune recipe's RandomResizedCrop)."""
+    t, h, w, c = frames.shape
+    i, j, hh, ww = _get_param_spatial_crop(scale, ratio, h, w)
+    cropped = frames[:, i : i + hh, j : j + ww, :]
+    return _resize(cropped, target_height, target_width)
+
+
+def random_resized_crop_with_shift(
+    frames: np.ndarray,
+    target_height: int,
+    target_width: int,
+    scale: Tuple[float, float] = (0.8, 1.0),
+    ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0),
+) -> np.ndarray:
+    """Motion-shift variant (reference transform.py:579-623): two crop
+    boxes sampled for the first/last frame, linearly interpolated for
+    the frames between, each resized to the target."""
+    t, h, w, c = frames.shape
+    i, j, hh, ww = _get_param_spatial_crop(scale, ratio, h, w)
+    i2, j2, h2, w2 = _get_param_spatial_crop(scale, ratio, h, w)
+    i_s = [int(v) for v in np.linspace(i, i2, num=t)]
+    j_s = [int(v) for v in np.linspace(j, j2, num=t)]
+    h_s = [int(v) for v in np.linspace(hh, h2, num=t)]
+    w_s = [int(v) for v in np.linspace(ww, w2, num=t)]
+    out = np.empty((t, target_height, target_width, c), dtype=frames.dtype)
+    for ind in range(t):
+        box = frames[ind : ind + 1, i_s[ind] : i_s[ind] + h_s[ind], j_s[ind] : j_s[ind] + w_s[ind], :]
+        out[ind] = _resize(box, target_height, target_width)[0]
+    return out
+
+
+def blend(frames1: np.ndarray, frames2: np.ndarray, alpha: float) -> np.ndarray:
+    return frames1 * alpha + frames2 * (1 - alpha)
+
+
+def grayscale(frames: np.ndarray) -> np.ndarray:
+    """BGR-ordered grayscale broadcast to 3 channels (reference
+    transform.py:295-314; channels-last here)."""
+    gray = 0.299 * frames[..., 2] + 0.587 * frames[..., 1] + 0.114 * frames[..., 0]
+    out = np.array(frames)
+    out[..., 0] = gray
+    out[..., 1] = gray
+    out[..., 2] = gray
+    return out
+
+
+def brightness_jitter(var: float, frames: np.ndarray) -> np.ndarray:
+    alpha = 1.0 + np.random.uniform(-var, var)
+    return blend(frames, np.zeros_like(frames), alpha)
+
+
+def contrast_jitter(var: float, frames: np.ndarray) -> np.ndarray:
+    alpha = 1.0 + np.random.uniform(-var, var)
+    gray = grayscale(frames)
+    gray[:] = gray.mean(axis=(1, 2, 3), keepdims=True)
+    return blend(frames, gray, alpha)
+
+
+def saturation_jitter(var: float, frames: np.ndarray) -> np.ndarray:
+    alpha = 1.0 + np.random.uniform(-var, var)
+    return blend(frames, grayscale(frames), alpha)
+
+
+def color_jitter(
+    frames: np.ndarray,
+    img_brightness: float = 0,
+    img_contrast: float = 0,
+    img_saturation: float = 0,
+) -> np.ndarray:
+    """Randomly-ordered brightness/contrast/saturation jitter (reference
+    transform.py:317-350), channels-last [T, H, W, C]."""
+    jitter = []
+    if img_brightness != 0:
+        jitter.append("brightness")
+    if img_contrast != 0:
+        jitter.append("contrast")
+    if img_saturation != 0:
+        jitter.append("saturation")
+    if jitter:
+        order = np.random.permutation(np.arange(len(jitter)))
+        for idx in range(len(jitter)):
+            kind = jitter[order[idx]]
+            if kind == "brightness":
+                frames = brightness_jitter(img_brightness, frames)
+            elif kind == "contrast":
+                frames = contrast_jitter(img_contrast, frames)
+            else:
+                frames = saturation_jitter(img_saturation, frames)
+    return frames
+
+
 def tensor_normalize(
     frames: np.ndarray, mean: Sequence[float], std: Sequence[float]
 ) -> np.ndarray:
@@ -114,15 +254,27 @@ def spatial_sampling(
     crop_size: int = 224,
     random_horizontal_flip: bool = True,
     inverse_uniform_sampling: bool = False,
+    aspect_ratio: Optional[Sequence[float]] = None,
+    scale: Optional[Sequence[float]] = None,
+    motion_shift: bool = False,
 ) -> np.ndarray:
     """Train (spatial_idx==-1) vs deterministic test crops (reference
-    datasets/utils.py:117-189)."""
+    datasets/utils.py:117-189). When ``aspect_ratio``/``scale`` are given
+    the train path uses Inception-style RandomResizedCrop instead of
+    scale-jitter + crop (the VideoMAE/ViViT finetune recipe,
+    reference utils.py:415-427)."""
     assert spatial_idx in (-1, 0, 1, 2)
     if spatial_idx == -1:
-        frames = random_short_side_scale_jitter(
-            frames, min_scale, max_scale, inverse_uniform_sampling
-        )
-        frames = random_crop(frames, crop_size)
+        if aspect_ratio is None and scale is None:
+            frames = random_short_side_scale_jitter(
+                frames, min_scale, max_scale, inverse_uniform_sampling
+            )
+            frames = random_crop(frames, crop_size)
+        else:
+            rrc = random_resized_crop_with_shift if motion_shift else random_resized_crop
+            frames = rrc(
+                frames, crop_size, crop_size, scale=tuple(scale), ratio=tuple(aspect_ratio)
+            )
         if random_horizontal_flip:
             frames = horizontal_flip(0.5, frames)
     else:
@@ -130,6 +282,19 @@ def spatial_sampling(
         frames = short_side_scale(frames, min_scale)
         frames = uniform_crop(frames, crop_size, spatial_idx)
     return frames
+
+
+def relative_crop_args(cfg, mode: str) -> dict:
+    """Extra spatial_sampling kwargs for the train recipe's relative
+    (Inception-style) crop (reference utils.py:408-427): active only in
+    train mode when the config sets the relative jitter ranges."""
+    scl = list(cfg.DATA.TRAIN_JITTER_SCALES_RELATIVE)
+    asp = list(cfg.DATA.TRAIN_JITTER_ASPECT_RELATIVE)
+    return dict(
+        scale=scl if mode == "train" and scl else None,
+        aspect_ratio=asp if mode == "train" and asp else None,
+        motion_shift=cfg.DATA.TRAIN_JITTER_MOTION_SHIFT if mode == "train" else False,
+    )
 
 
 def train_augment(cfg, frames: np.ndarray, mode: str) -> np.ndarray:

@@ -264,15 +264,16 @@ class Motionformer(nn.Module):
         b = x.shape[0]
         x = x.astype(self.dtype)
         if c.patch_size_temp > 1:
-            emb = nn.Conv(
+            from vtm.models.common import TubeletEmbed
+
+            # conv3d semantics via the fast 2-D path; (f n) frame-major
+            emb = TubeletEmbed(
                 c.embed_dim,
-                kernel_size=(c.patch_size_temp, c.patch_size, c.patch_size),
-                strides=(c.patch_size_temp, c.patch_size, c.patch_size),
-                padding="VALID",
+                tubelet=c.patch_size_temp,
+                patch=c.patch_size,
                 dtype=self.dtype,
                 name="patch_embed_3d",
             )(x)
-            emb = emb.reshape(b, -1, c.embed_dim)  # (f n) frame-major
         else:
             frames = x.reshape(b * x.shape[1], *x.shape[2:])
             emb = nn.Conv(

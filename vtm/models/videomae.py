@@ -25,6 +25,7 @@ from vtm.merge.policy import MergePolicy, MergeState, reduce_tokens
 from vtm.models.common import (
     LayerNorm,
     Mlp,
+    TubeletEmbed,
     aggregate_metric,
     attention_core,
     merge_heads,
@@ -166,18 +167,15 @@ class VideoMAE(nn.Module):
         c = self.config
         if state is None:
             state = MergeState(rng=rng)
-        x = x.astype(self.dtype)
-        # tubelet embedding: Conv over [B, T, H, W, C]
-        x = nn.Conv(
+        b = x.shape[0]
+        # tubelet embedding (conv3d semantics via the fast 2-D path)
+        x = TubeletEmbed(
             c.embed_dim,
-            kernel_size=(c.tubelet_size, c.patch_size, c.patch_size),
-            strides=(c.tubelet_size, c.patch_size, c.patch_size),
-            padding="VALID",
+            tubelet=c.tubelet_size,
+            patch=c.patch_size,
             dtype=self.dtype,
             name="patch_embed",
         )(x)
-        b = x.shape[0]
-        x = x.reshape(b, -1, c.embed_dim)
         pos = sinusoid_encoding_table(c.tokens, c.embed_dim)
         x = x + jnp.asarray(pos, dtype=x.dtype)
 

@@ -26,6 +26,7 @@ from vtm.merge.policy import MergePolicy, MergeState, reduce_tokens
 from vtm.models.build import ModelBundle, compute_dtype, duplication_plan, make_policy, register_model
 from vtm.models.common import (
     LayerNorm,
+    TubeletEmbed,
     aggregate_metric,
     attention_core,
     merge_heads,
@@ -147,17 +148,26 @@ class ViViT(nn.Module):
         c = self.config
         if state is None:
             state = MergeState(rng=rng)
-        x = x.astype(self.dtype)
-        x = nn.Conv(
-            c.hidden_size,
-            kernel_size=c.tubelet_size,
-            strides=c.tubelet_size,
-            padding="VALID",
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x)
         b = x.shape[0]
-        x = x.reshape(b, -1, c.hidden_size)
+        if c.tubelet_size[1] == c.tubelet_size[2]:
+            # conv3d semantics via the fast 2-D path (square spatial patch)
+            x = TubeletEmbed(
+                c.hidden_size,
+                tubelet=c.tubelet_size[0],
+                patch=c.tubelet_size[1],
+                dtype=self.dtype,
+                name="patch_embed",
+            )(x)
+        else:
+            x = nn.Conv(
+                c.hidden_size,
+                kernel_size=c.tubelet_size,
+                strides=c.tubelet_size,
+                padding="VALID",
+                dtype=self.dtype,
+                name="patch_embed",
+            )(x.astype(self.dtype))
+            x = x.reshape(b, -1, c.hidden_size)
         cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c.hidden_size))
         x = jnp.concatenate([jnp.broadcast_to(cls.astype(x.dtype), (b, 1, c.hidden_size)), x], axis=1)
         pos = self.param("position_embeddings", nn.initializers.zeros, (1, c.tokens, c.hidden_size))

@@ -15,9 +15,13 @@ log(size) is a [N] vector added to the tile — the reference semantics
 of `attn += size.log()[..., None, :]` (tome/patch/vivit.py:103-104)
 with zero HBM bias traffic.
 
-Forward-only fused; the backward pass falls back to the einsum
-formulation via custom_vjp (inference is the hot path; training
-recomputes).
+Both passes are fused: the backward kernel recomputes the softmax rows
+with the same whole-K/V-row scheme and accumulates dk/dv/dbias across
+sequential q-block grid steps (their block index is constant along that
+dim, so the accumulators stay resident in VMEM) — train-through-merging
+(`tome_train_*` configs) never materializes [N, N] logits in HBM in
+either direction. The per-frame trajectory kernel keeps an einsum
+recompute backward (its N is small).
 """
 
 from __future__ import annotations
@@ -57,14 +61,27 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
+# VMEM budget for the [blk_q, n_pad] fp32 logits tile. Bigger q-blocks
+# amortize per-program overhead (measured at N=1568: blk_q 128 -> 1.68
+# ms/layer, whole-row 1664 -> 1.29 ms); cap so the tile leaves room for
+# q/k/v/out in VMEM.
+_LOGITS_TILE_BYTES = 12 * 1024 * 1024
+
+
+def _pick_blk_q(n_pad: int, requested: Optional[int]) -> int:
+    cap = max(_LANE, _LOGITS_TILE_BYTES // (4 * n_pad))
+    blk = min(requested or n_pad, n_pad, cap)
+    while n_pad % blk or blk % 8:
+        blk -= 1
+    return blk
+
+
 def _forward(q, k, v, key_bias, sm_scale, blk_q):
     b, h, n, d = q.shape
-    # pad N to the lane width; blk_q shrinks to keep the divisibility
-    # (padding waste is quadratic in n_pad/n, so prefer small padding)
+    # pad N to the lane width; blk_q defaults to the whole row when the
+    # fp32 logits tile fits VMEM, else the largest fitting divisor
     n_pad = -(-n // _LANE) * _LANE
-    blk_q = min(blk_q, n_pad)
-    while n_pad % blk_q:
-        blk_q //= 2
+    blk_q = _pick_blk_q(n_pad, blk_q)
     dtype = q.dtype
 
     qs = (q * sm_scale).reshape(b * h, n, d)
@@ -123,11 +140,12 @@ def tome_flash_attention(
     v: jax.Array,
     key_bias: Optional[jax.Array] = None,
     sm_scale: float = 1.0,
-    blk_q: int = 512,
+    blk_q: Optional[int] = None,
 ):
     """softmax(q k^T * sm_scale + key_bias[None,None,:,]) v, fused.
 
     q/k/v: [B, H, N, d]; key_bias: [B, N] (log token sizes) or None.
+    blk_q None = auto (whole row when the logits tile fits VMEM).
     """
     return _forward(q, k, v, key_bias, sm_scale, blk_q)
 
@@ -136,11 +154,129 @@ def _fwd(q, k, v, key_bias, sm_scale, blk_q):
     return _forward(q, k, v, key_bias, sm_scale, blk_q), (q, k, v, key_bias)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, db_ref, *, scale):
+    """One (bh, q-block) program of the fused backward: recompute the
+    softmax row (same whole-K/V-row-in-VMEM scheme as the forward), then
+      ds = p * (dp - rowsum(p * dp)),   dp = do v^T
+      dq = scale * ds k;  dk += scale * ds^T q;  dv += p^T do;
+      dbias += colsum(ds).
+    dk/dv/db index maps are constant along the q-block grid dim, so the
+    accumulators stay resident in VMEM across sequential q blocks."""
+    qi = pl.program_id(1)
+    q = q_ref[0]  # [blk_q, d]
+    k = k_ref[0]  # [n_pad, d]
+    v = v_ref[0]
+    do = do_ref[0]  # [blk_q, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32 [blk_q, n_pad]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [blk_q, n_pad]
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = p * (dp - delta)  # fp32
+    p_lo = p.astype(do.dtype)
+    ds_lo = ds.astype(do.dtype)
+    dq_ref[0] = (
+        jax.lax.dot_general(
+            ds_lo, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    ).astype(dq_ref.dtype)
+    dk_new = (
+        jax.lax.dot_general(
+            ds_lo, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # [n_pad, d]
+    dv_new = jax.lax.dot_general(
+        p_lo, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    db_new = jnp.sum(ds, axis=0, keepdims=True)  # [1, n_pad]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0] = dk_new
+        dv_ref[0] = dv_new
+        db_ref[0] = db_new
+
+    @pl.when(qi > 0)
+    def _():
+        dk_ref[0] += dk_new
+        dv_ref[0] += dv_new
+        db_ref[0] += db_new
+
+
+def _backward(q, k, v, key_bias, g, sm_scale, blk_q=256):
+    b, h, n, d = q.shape
+    n_pad = -(-n // _LANE) * _LANE
+    blk_q_eff = blk_q
+    while n_pad % blk_q_eff:
+        blk_q_eff //= 2
+    dtype = q.dtype
+
+    qs = q.reshape(b * h, n, d)
+    ks = k.reshape(b * h, n, d)
+    vs = v.reshape(b * h, n, d)
+    dos = g.reshape(b * h, n, d)
+    if n_pad != n:
+        pad = [(0, 0), (0, n_pad - n), (0, 0)]
+        qs, ks, vs, dos = (jnp.pad(z, pad) for z in (qs, ks, vs, dos))
+
+    bias = jnp.zeros((b, 1, n_pad), jnp.float32)
+    if key_bias is not None:
+        bias = bias.at[:, 0, :n].set(key_bias.astype(jnp.float32))
+    if n_pad != n:
+        bias = bias.at[:, :, n:].set(-1e30)
+
+    grid = (b * h, n_pad // blk_q_eff)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk_q_eff, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bh, qi: (bh // h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q_eff, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk_q_eff, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, d), dtype),
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, 1, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * n_pad * n_pad * d,
+            bytes_accessed=(7 * b * h * n_pad * d) * 2,
+            transcendentals=b * h * n_pad * n_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias, dos)
+
+    dq = dq[:, :n, :].reshape(b, h, n, d)
+    dk = dk[:, :n, :].reshape(b, h, n, d).astype(dtype)
+    dv = dv[:, :n, :].reshape(b, h, n, d).astype(dtype)
+    if key_bias is None:
+        dbias = None
+    else:
+        dbias = db[:, 0, :n].reshape(b, h, n).sum(axis=1).astype(key_bias.dtype)
+    return dq, dk, dv, dbias
+
+
 def _bwd(sm_scale, blk_q, res, g):
     q, k, v, key_bias = res
-    # recompute through the einsum formulation (training path only)
-    _, vjp = jax.vjp(lambda q_, k_, v_, b_: _reference(q_, k_, v_, b_, sm_scale), q, k, v, key_bias)
-    return vjp(g)
+    return _backward(q, k, v, key_bias, g, sm_scale)
 
 
 tome_flash_attention.defvjp(_fwd, _bwd)

@@ -114,6 +114,71 @@ def test_epic_record_parity(video_id, start, stop):
     assert got.metadata == ref.metadata
 
 
+# ------------------------------------------------------ mask generators
+
+@pytest.mark.parametrize("num_masking", [40, 80])
+def test_masking_generator_2d_parity(num_masking):
+    ref_transform = load_reference_module(
+        "slowfast/datasets/transform.py", "ref_transform_mask"
+    )
+    from vtm.data.masking import MaskingGenerator
+
+    for seed in range(4):
+        random.seed(seed)
+        ref = ref_transform.MaskingGenerator(
+            (14, 14), num_masking, min_num_patches=num_masking // 5
+        )()
+        random.seed(seed)
+        got = MaskingGenerator((14, 14), num_masking, min_num_patches=num_masking // 5)()
+        np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_masking_generator_3d_parity():
+    ref_transform = load_reference_module(
+        "slowfast/datasets/transform.py", "ref_transform_mask"
+    )
+    from vtm.data.masking import MaskingGenerator3D
+
+    for seed in range(4):
+        random.seed(seed)
+        ref = ref_transform.MaskingGenerator3D(
+            (8, 7, 7), 160, min_num_patches=9, max_num_patches=49
+        )()
+        random.seed(seed)
+        got = MaskingGenerator3D((8, 7, 7), 160, min_num_patches=9, max_num_patches=49)()
+        np.testing.assert_array_equal(got, np.asarray(ref))
+
+
+def test_generate_mask_branches():
+    from vtm.config import get_cfg
+    from vtm.data.masking import generate_mask
+
+    cfg = get_cfg()
+    assert generate_mask(cfg) is None  # loader off by default
+
+    cfg.AUG.GEN_MASK_LOADER = True
+    cfg.AUG.MASK_RATIO = 0.4
+    cfg.AUG.MASK_WINDOW_SIZE = [8, 7, 7]
+    random.seed(0)
+    m3 = generate_mask(cfg)
+    assert m3.shape == (8, 7, 7) and 0 < m3.sum() <= round(392 * 0.4) + 49
+
+    cfg.AUG.MASK_FRAMES = True
+    random.seed(0)
+    mf = generate_mask(cfg)
+    assert mf.shape == (8, 7, 7)
+    frame_sums = mf.reshape(8, -1).sum(1)
+    assert sorted(set(frame_sums)) == [0, 49] and (frame_sums == 49).sum() == 3
+
+    cfg.AUG.MASK_FRAMES = False
+    cfg.AUG.MASK_TUBE = True
+    cfg.AUG.MASK_WINDOW_SIZE = [14, 14]
+    random.seed(0)
+    mt = generate_mask(cfg)
+    assert mt.shape == (8, 14, 14)
+    np.testing.assert_array_equal(mt[0], mt[5])  # tube: same mask per frame
+
+
 # --------------------------------------------------- epic frame packing
 
 def _ref_frame_loader():

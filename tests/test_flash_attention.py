@@ -85,6 +85,26 @@ def test_attention_core_dispatch_consistency():
     )
 
 
+def test_attention_core_excluded_bias_kernel_split(monkeypatch):
+    """The TimeSformer CLS-excluded bias decomposition (kernel with
+    [0, log s] key bias + separate unbiased CLS row) must match the
+    einsum formulation (logits[:, :, 1:, 1:] += log s)."""
+    import vtm.models.common as common
+
+    b, h, n, d = 2, 3, 197, 64
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    size = jnp.asarray(rng.uniform(1, 4, (b, n - 1, 1)), jnp.float32)
+    size_bias = jnp.log(size[:, :, 0])[:, None, None, :]
+
+    ref = common.attention_core(q, k, v, 0.125, size_bias, bias_excludes_first=True)
+    monkeypatch.setattr(common, "_on_tpu", lambda: True)  # kernel path, interpreted
+    got = common.attention_core(q, k, v, 0.125, size_bias, bias_excludes_first=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
 @pytest.mark.parametrize("with_bias", [False, True])
 def test_frame_kernel_matches_reference(with_bias):
     from vtm.ops.flash_attention import _frame_reference, tome_frame_attention

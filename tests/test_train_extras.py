@@ -178,3 +178,29 @@ def test_train_auto_resume_with_opt_state(tmp_path):
     train(make_cfg(2))
     last = cu.get_last_checkpoint(str(tmp_path))
     assert last.endswith("epoch_00001")
+
+
+def test_pathmgr_local_and_scheme_errors(tmp_path):
+    """iopath-analog path manager: local ops work; unknown/unavailable
+    cloud schemes fail loudly instead of mangling the URI."""
+    import pytest
+
+    from vtm.utils.pathmgr import pathmgr
+
+    p = str(tmp_path / "a" / "b.txt")
+    with pathmgr.open(p, "w") as f:  # auto-creates parents
+        f.write("hi")
+    assert pathmgr.exists(p)
+    assert pathmgr.ls(str(tmp_path / "a")) == ["b.txt"]
+    pathmgr.copy(p, str(tmp_path / "a" / "c.txt"))
+    assert pathmgr.exists(str(tmp_path / "a" / "c.txt"))
+    pathmgr.rm(str(tmp_path / "a"))
+    assert not pathmgr.exists(p)
+
+    with pytest.raises(ValueError):
+        pathmgr.exists("weird://bucket/x")
+    # gs:// resolves through fsspec when installed (then fails on this
+    # zero-egress image with a network OSError) or raises ImportError —
+    # either way it fails loudly rather than treating the URI as local
+    with pytest.raises((ImportError, OSError)):
+        pathmgr.exists("gs://bucket/x")

@@ -262,6 +262,13 @@ def get_cfg() -> CfgNode:
     _C.AUG.RE_MODE = "pixel"
     _C.AUG.RE_COUNT = 1
     _C.AUG.RE_SPLIT = False
+    # masked-video pretraining mask loader (reference kinetics.py:493-552)
+    _C.AUG.GEN_MASK_LOADER = False
+    _C.AUG.MASK_TUBE = False
+    _C.AUG.MASK_FRAMES = False
+    _C.AUG.MASK_WINDOW_SIZE = [8, 7, 7]
+    _C.AUG.MASK_RATIO = 0.0
+    _C.AUG.MAX_MASK_PATCHES_PER_BLOCK = None
 
     # ------------------------------------------------------------------ MIXUP
     _C.MIXUP = CfgNode()

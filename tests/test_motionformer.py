@@ -181,3 +181,96 @@ def test_softmax_applied_at_inference():
     video = np.zeros((1, T_IN, 32, 32, 3), dtype=np.float32)
     logits, _ = model.apply({"params": params}, jnp.asarray(video))
     np.testing.assert_allclose(float(np.asarray(logits).sum()), 1.0, rtol=1e-5)
+
+
+def test_divided_attn_matches_torch_oracle():
+    """ATTN_LAYER=divided (reference motionformer_vit_helper.py:76-141,
+    320-365): CLS attends globally; patch tokens attend within frame
+    (space) / within spatial position (time) with the CLS key/value
+    prepended to every group; time->space->MLP block order. The ToMe
+    patch never touches DividedSpaceTimeBlock, so this path is always
+    unmerged."""
+    import dataclasses
+
+    import torch
+    import torch.nn.functional as TF
+
+    cfg = dataclasses.replace(TINY, attn_layer="divided")
+    model = Motionformer(config=cfg, policy=MergePolicy())
+    video = np.random.default_rng(3).standard_normal((2, T_IN, 32, 32, 3)).astype(np.float32)
+    params = model.init(jax.random.key(7), jnp.asarray(video[:1]))["params"]
+    with jax.default_matmul_precision("highest"):
+        got, _ = model.apply({"params": params}, jnp.asarray(video))
+    got = np.asarray(got)
+
+    def t(arr):
+        return torch.from_numpy(np.asarray(arr, dtype=np.float32))
+
+    def dense(p, x):
+        return TF.linear(x, t(p["kernel"]).T, t(p["bias"]) if "bias" in p else None)
+
+    c = cfg
+    h, d = c.num_heads, c.embed_dim
+    hd = d // h
+    f = c.temporal_resolution
+    scale = hd ** -0.5
+
+    def divided_attn(p, x, to_time):
+        B, N, _ = x.shape
+        qkv = dense(p["qkv"], x)
+        q, k, v = qkv.chunk(3, dim=-1)
+        q, k, v = (z.view(B, N, h, hd).transpose(1, 2) for z in (q, k, v))
+        q = q * scale
+        cls_q, q_ = q[:, :, :1], q[:, :, 1:]
+        cls_k, k_ = k[:, :, :1], k[:, :, 1:]
+        cls_v, v_ = v[:, :, :1], v[:, :, 1:]
+        cls_out = (cls_q @ k.transpose(-2, -1)).softmax(-1) @ v
+        n = N - 1
+        s = n // f
+        def fold(z):
+            z = z.reshape(B, h, f, s, hd)
+            return z.permute(0, 1, 3, 2, 4) if to_time else z
+        qf, kf, vf = fold(q_), fold(k_), fold(v_)
+        g = qf.shape[2]
+        kf = torch.cat([cls_k[:, :, None].expand(B, h, g, 1, hd), kf], dim=3)
+        vf = torch.cat([cls_v[:, :, None].expand(B, h, g, 1, hd), vf], dim=3)
+        attn = torch.einsum("bhgqd,bhgkd->bhgqk", qf, kf).softmax(-1)
+        out = torch.einsum("bhgqk,bhgkd->bhgqd", attn, vf)
+        if to_time:
+            out = out.permute(0, 1, 3, 2, 4)
+        out = out.reshape(B, h, n, hd)
+        out = torch.cat([cls_out, out], dim=2)
+        out = out.transpose(1, 2).reshape(B, N, d)
+        return dense(p["proj"], out)
+
+    def ln(p, x):
+        return TF.layer_norm(x, (x.shape[-1],), t(p["scale"]), t(p["bias"]), eps=c.layer_norm_eps)
+
+    with torch.no_grad():
+        v = t(video).permute(0, 4, 1, 2, 3)
+        w3 = t(params["patch_embed_3d"]["kernel"]).permute(4, 3, 0, 1, 2)
+        x = TF.conv3d(
+            v, w3, t(params["patch_embed_3d"]["bias"]),
+            stride=(c.patch_size_temp, c.patch_size, c.patch_size),
+        )
+        x = x.flatten(2).transpose(1, 2)  # (f n) frame-major
+        B = x.shape[0]
+        cls = t(params["cls_token"]).expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        pos = t(params["pos_embed"])
+        npatch = c.spatial_tokens
+        # separate pos embed: cls + tile spatial over frames + temp per frame
+        tile = pos[:, 1:, :].repeat(1, f, 1)
+        temp = t(params["temp_embed"]).repeat_interleave(npatch, dim=1)
+        x = x + torch.cat([pos[:, :1, :], tile + temp], dim=1)
+        for i in range(c.depth):
+            p = params[f"blocks_{i}"]
+            x = x + divided_attn(p["timeattn"], ln(p["norm3"], x), to_time=True)
+            x = x + divided_attn(p["attn"], ln(p["norm1"], x), to_time=False)
+            y = TF.gelu(dense(p["mlp"]["fc1"], ln(p["norm2"], x)))
+            x = x + dense(p["mlp"]["fc2"], y)
+        x = ln(params["norm"], x)
+        logits = dense(params["head"], x[:, 0])
+        probs = logits.softmax(-1).numpy()  # inference applies softmax
+
+    np.testing.assert_allclose(got, probs, rtol=2e-4, atol=2e-4)

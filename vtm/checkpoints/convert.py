@@ -387,6 +387,14 @@ def convert_motionformer(sd: Mapping[str, np.ndarray], depth: int) -> dict:
                 "fc2": _dense(sd, f"{pre}.mlp.fc2"),
             },
         }
+        # divided space-time blocks carry a second attention + norm3
+        # (motionformer_vit_helper.py:320-351)
+        if f"{pre}.timeattn.qkv.weight" in sd:
+            params[f"blocks_{i}"]["timeattn"] = {
+                "qkv": _dense(sd, f"{pre}.timeattn.qkv"),
+                "proj": _dense(sd, f"{pre}.timeattn.proj"),
+            }
+            params[f"blocks_{i}"]["norm3"] = _layernorm(sd, f"{pre}.norm3")
     if "pre_logits.fc.weight" in sd:
         params["pre_logits_fc"] = _dense(sd, "pre_logits.fc")
     if "head.weight" in sd:

@@ -53,7 +53,7 @@ class MotionformerConfig:
     use_mlp: bool = False
     head_act: str = "tanh"
     pos_embed_type: str = "separate"  # separate | joint
-    attn_layer: str = "trajectory"  # trajectory | joint
+    attn_layer: str = "trajectory"  # trajectory | joint | divided
     use_original_code: bool = True
     approx_attn_type: str = "none"
     approx_attn_dim: int = 128
@@ -206,6 +206,67 @@ class JointAttention(nn.Module):
         return out, metric
 
 
+class DividedAttention(nn.Module):
+    """Divided space-time attention with a globally-attending CLS token
+    (reference motionformer_vit_helper.py:76-141): the CLS query attends
+    over the FULL sequence; patch tokens attend within their frame
+    (space) or their spatial position (time), with the CLS key/value
+    prepended to every group. Body layout is '(f n)' frame-major with
+    exact einops-equivalent folds (unlike the trajectory path's
+    deliberate (s f) quirk)."""
+
+    config: MotionformerConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_frames: int, to_time: bool):
+        c = self.config
+        h = c.num_heads
+        dim = x.shape[-1]
+        qkv = nn.Dense(dim * 3, use_bias=c.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        q, k, v = (split_heads(z, h) for z in jnp.split(qkv, 3, axis=-1))
+        q = q * (dim // h) ** -0.5
+        cls_q, q_ = q[:, :, :1], q[:, :, 1:]
+        cls_k, k_ = k[:, :, :1], k[:, :, 1:]
+        cls_v, v_ = v[:, :, :1], v[:, :, 1:]
+
+        # CLS attends across all of time and space
+        cls_logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", cls_q, k, preferred_element_type=jnp.float32
+        )
+        cls_out = jnp.einsum(
+            "bhqk,bhkd->bhqd", nn.softmax(cls_logits, axis=-1).astype(v.dtype), v
+        )
+
+        b, _, n, d = q_.shape
+        f = num_frames
+        s = n // f
+
+        def fold(t):
+            t = t.reshape(b, h, f, s, d)  # '(f n)' frame-major groups
+            return t.transpose(0, 1, 3, 2, 4) if to_time else t
+
+        qf, kf, vf = fold(q_), fold(k_), fold(v_)
+        g = qf.shape[2]
+        kf = jnp.concatenate(
+            [jnp.broadcast_to(cls_k[:, :, None], (b, h, g, 1, d)), kf], axis=3
+        )
+        vf = jnp.concatenate(
+            [jnp.broadcast_to(cls_v[:, :, None], (b, h, g, 1, d)), vf], axis=3
+        )
+        logits = jnp.einsum(
+            "bhgqd,bhgkd->bhgqk", qf, kf, preferred_element_type=jnp.float32
+        )
+        out = jnp.einsum(
+            "bhgqk,bhgkd->bhgqd", nn.softmax(logits, axis=-1).astype(vf.dtype), vf
+        )
+        if to_time:
+            out = out.transpose(0, 1, 3, 2, 4)
+        out = out.reshape(b, h, n, d)
+        out = jnp.concatenate([cls_out, out], axis=2)
+        return nn.Dense(dim, dtype=self.dtype, name="proj")(merge_heads(out))
+
+
 class MotionformerBlock(nn.Module):
     config: MotionformerConfig
     policy: MergePolicy
@@ -214,6 +275,26 @@ class MotionformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, state: MergeState, layer: int, num_frames: int):
         c = self.config
+        if c.attn_layer == "divided":
+            # reference DividedSpaceTimeBlock (vit_helper.py:320-365):
+            # time attention (norm3) then space attention (norm1), then
+            # MLP. The ToMe patch never touches these blocks
+            # (patch/motionformer.py:279 checks isinstance(…, Block)),
+            # so the divided variant always runs unmerged — replicated.
+            x = x + DividedAttention(c, dtype=self.dtype, name="timeattn")(
+                LayerNorm(epsilon=c.layer_norm_eps, name="norm3")(x),
+                num_frames,
+                to_time=True,
+            )
+            x = x + DividedAttention(c, dtype=self.dtype, name="attn")(
+                LayerNorm(epsilon=c.layer_norm_eps, name="norm1")(x),
+                num_frames,
+                to_time=False,
+            )
+            x = x + Mlp(
+                int(c.embed_dim * c.mlp_ratio), c.embed_dim, dtype=self.dtype, name="mlp"
+            )(LayerNorm(epsilon=c.layer_norm_eps, name="norm2")(x))
+            return x, state
         attn_cls = {"trajectory": TrajectoryAttention, "joint": JointAttention}[
             c.attn_layer
         ]

@@ -52,13 +52,15 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(
-        p,
+    # normalize AFTER the PV matmul: the division runs on the [blk_q, d]
+    # output instead of the [blk_q, n] tile (d/n ~ 26x fewer elements)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype),
         v,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
 # VMEM budget for the [blk_q, n_pad] fp32 logits tile. Bigger q-blocks
@@ -299,10 +301,11 @@ def _frame_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     s = s + bias_ref[0, 0]  # [1, s_pad] broadcast
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
 
 
 def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):

@@ -60,6 +60,23 @@ def test_test_net_end_to_end(tmp_path):
     assert 0.0 <= float(stats["top1_acc"]) <= 100.0
 
 
+def test_test_net_tensor_parallel(tmp_path):
+    """test_net with TPU.MODEL_PARALLEL=2: the (data, model) mesh path
+    must produce the same metrics as the dp-only run."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device backend")
+    from tools.test_net import test as run_test
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    dp_stats = run_test(cfg)[0][1]
+    cfg.TPU.MODEL_PARALLEL = 2
+    tp_stats = run_test(cfg)[0][1]
+    assert tp_stats["top1_acc"] == dp_stats["top1_acc"]
+    assert tp_stats["top5_acc"] == dp_stats["top5_acc"]
+
+
 def test_model_benchmark_end_to_end(tmp_path):
     from tools.model_benchmark import model_benchmark
 

@@ -69,6 +69,70 @@ print('donation-parity ok')
     assert "donation-parity ok" in out
 
 
+def test_tensor_parallel_matches_single_device():
+    """2x4 (data, model) mesh with Megatron-style param cuts
+    (vtm/parallel/sharding.py): eval logits and one train step must
+    match the unsharded single-device run; qkv/fc1 kernels must actually
+    be sharded over the model axis."""
+    script = f"""
+import sys; sys.path.insert(0, {str(REPO)!r})
+import numpy as np, jax, jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from vtm.config import get_cfg
+from vtm.merge.policy import MergePolicy
+from vtm.models.videomae import VideoMAE, VideoMAEConfig
+from vtm.parallel.mesh import make_mesh, shard_batch
+from vtm.parallel.sharding import shard_params, tp_param_specs
+from vtm.train.optimizer import construct_optimizer
+from vtm.train.train_step import make_eval_step, make_train_step
+
+config = VideoMAEConfig(img_size=32, patch_size=16, num_frames=4, tubelet_size=2,
+                        embed_dim=32, depth=2, num_heads=4, mlp_ratio=2.0, num_classes=5)
+module = VideoMAE(config=config, policy=MergePolicy(rs=(1, 1), mode='merge'))
+rng = np.random.default_rng(0)
+frames_np = rng.standard_normal((8, 4, 32, 32, 3)).astype(np.float32)
+labels_np = rng.integers(0, 5, size=(8,))
+params0 = module.init(jax.random.key(0), jnp.asarray(frames_np[:1]))['params']
+
+single = np.asarray(make_eval_step(module)(params0, jnp.asarray(frames_np)))
+
+mesh = make_mesh(model_parallel=4)
+assert mesh.shape == {{'data': 2, 'model': 4}}
+specs = tp_param_specs(params0)
+# the column cut is real: qkv kernel sharded over 'model'
+assert specs['blocks_0']['attn']['qkv']['kernel'] == P(None, 'model')
+assert specs['blocks_0']['mlp']['fc2']['kernel'] == P('model', None)
+params = shard_params(mesh, params0, specs)
+qkv = params['blocks_0']['attn']['qkv']['kernel']
+assert not qkv.sharding.is_fully_replicated, qkv.sharding
+
+tp_eval = make_eval_step(module, mesh, param_specs=specs)
+got = np.asarray(tp_eval(params, shard_batch(mesh, jnp.asarray(frames_np))))
+np.testing.assert_allclose(single, got, rtol=1e-4, atol=1e-4)
+
+# one tp train step matches the unsharded step
+cfg = get_cfg(); cfg.SOLVER.OPTIMIZING_METHOD = 'adamw'
+tx, _ = construct_optimizer(cfg, params0, num_layers=config.depth)
+plain = make_train_step(module, tx, 'cross_entropy', multi_head=False)
+p_ref, _, loss_ref, _, _ = plain(params0, tx.init(params0), jnp.asarray(frames_np), jnp.asarray(labels_np), None)
+
+opt_state = tx.init(params)
+step = make_train_step(module, tx, 'cross_entropy', multi_head=False, mesh=mesh, param_specs=specs)
+p_tp, _, loss_tp, _, _ = step(params, opt_state, shard_batch(mesh, jnp.asarray(frames_np)),
+                              shard_batch(mesh, jnp.asarray(labels_np)), None)
+np.testing.assert_allclose(float(loss_ref), float(loss_tp), rtol=1e-4, atol=1e-4)
+for a, b in zip(jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_tp)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-2, atol=1e-3)
+# updated params keep their tp sharding (no silent gather to replicated)
+assert not jax.tree_util.tree_leaves(
+    p_tp['blocks_0']['attn']['qkv']
+)[0].sharding.is_fully_replicated
+print('tp-parity ok')
+"""
+    out = run_in_cpu_mesh(script)
+    assert "tp-parity ok" in out
+
+
 def test_data_parallel_eval_matches_single_device():
     script = f"""
 import sys; sys.path.insert(0, {str(REPO)!r})

@@ -101,13 +101,21 @@ def test(cfg):
 
             log_model_info(bundle, cfg)
 
-        mesh = make_mesh()
-        params = replicate(mesh, bundle.params)
+        mesh = make_mesh(model_parallel=cfg.TPU.MODEL_PARALLEL)
+        if cfg.TPU.MODEL_PARALLEL > 1:
+            from vtm.parallel.sharding import shard_params, tp_param_specs
+
+            specs = tp_param_specs(bundle.params)
+            params = shard_params(mesh, bundle.params, specs)
+        else:
+            specs = None
+            params = replicate(mesh, bundle.params)
         eval_step = make_eval_step(
             bundle.module,
             mesh,
             with_rng=cfg.TOME.ENABLE
             and cfg.TOME.MODE in ("random_merge", "random_drop"),
+            param_specs=specs,
         )
 
         loader = construct_loader(cfg, "test")

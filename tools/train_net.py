@@ -174,13 +174,21 @@ def train(cfg):
         if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
             start_epoch = 0
 
-    mesh = make_mesh()
-    params = replicate(mesh, bundle.params)
+    mesh = make_mesh(model_parallel=cfg.TPU.MODEL_PARALLEL)
+    if cfg.TPU.MODEL_PARALLEL > 1:
+        from vtm.parallel.sharding import shard_params, tp_param_specs
+
+        specs = tp_param_specs(bundle.params)
+        params = shard_params(mesh, bundle.params, specs)
+    else:
+        specs = None
+        params = replicate(mesh, bundle.params)
     opt_state = restored_opt if restored_opt is not None else tx.init(params)
     train_step = make_train_step(
-        bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=mesh
+        bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=mesh,
+        param_specs=specs,
     )
-    eval_step = make_eval_step(bundle.module, mesh)
+    eval_step = make_eval_step(bundle.module, mesh, param_specs=specs)
 
     train_loader = construct_loader(cfg, "train")
     val_loader = construct_loader(cfg, "val")

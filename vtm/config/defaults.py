@@ -296,6 +296,9 @@ def get_cfg() -> CfgNode:
     _C.TPU.PARAM_DTYPE = "float32"
     _C.TPU.MATCHING_PRECISION = "highest"  # merge-decision matmul precision
     _C.TPU.MESH_AXES = ["data"]
+    # tensor parallelism: devices per model shard (1 = pure dp; >1 adds
+    # a 'model' mesh axis with Megatron-style param cuts)
+    _C.TPU.MODEL_PARALLEL = 1
     _C.TPU.DONATE_INPUT = True
 
     return _C

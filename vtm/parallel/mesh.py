@@ -25,12 +25,25 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(devices: Optional[Sequence] = None, axis_names: Sequence[str] = ("data",)) -> Mesh:
+def make_mesh(
+    devices: Optional[Sequence] = None,
+    axis_names: Sequence[str] = ("data",),
+    model_parallel: int = 1,
+) -> Mesh:
+    """1-D data mesh, or a 2-D ('data', 'model') mesh when
+    ``model_parallel`` > 1 (tensor parallelism over ICI — see
+    vtm/parallel/sharding.py for the parameter cuts)."""
     devices = list(devices if devices is not None else jax.devices())
+    if model_parallel > 1:
+        assert len(devices) % model_parallel == 0, (
+            f"{len(devices)} devices not divisible by model_parallel={model_parallel}"
+        )
+        arr = np.array(devices).reshape(-1, model_parallel)
+        return Mesh(arr, axis_names=("data", "model"))
     if len(axis_names) == 1:
         arr = np.array(devices)
     else:
-        raise NotImplementedError("only a 1-D data mesh is defined for this model family")
+        raise NotImplementedError("pass model_parallel= for a 2-D mesh")
     return Mesh(arr, axis_names=tuple(axis_names))
 
 

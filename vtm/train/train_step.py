@@ -18,7 +18,12 @@ from vtm.parallel.mesh import batch_sharding, replicated_sharding
 from vtm.train import losses as loss_lib
 
 
-def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None):
+def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None,
+                    param_specs=None):
+    """``param_specs``: optional PartitionSpec pytree for the params
+    (tensor parallelism — vtm/parallel/sharding.py); None = replicated.
+    Gradients/optimizer state inherit the param shardings from jit's
+    output propagation."""
     base_loss = loss_lib.get_loss_func(loss_name)
 
     def step(params, opt_state, frames, labels, rngs: Optional[jax.Array] = None):
@@ -44,16 +49,32 @@ def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None):
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
     label_shard = {"verb": dat, "noun": dat} if multi_head else dat
+    if param_specs is None:
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, dat, label_shard, rep),
+            donate_argnums=(0, 1),
+        )
+    # tp: params follow their specs; the optimizer state mirrors the
+    # param tree leaves, so let jit infer its sharding from the placed
+    # arrays (None = use the argument's committed sharding)
+    from jax.sharding import NamedSharding
+
+    par = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), param_specs,
+        is_leaf=lambda s: isinstance(s, jax.sharding.PartitionSpec),
+    )
     return jax.jit(
         step,
-        in_shardings=(rep, rep, dat, label_shard, rep),
+        in_shardings=(par, None, dat, label_shard, rep),
         donate_argnums=(0, 1),
     )
 
 
-def make_eval_step(module, mesh=None, with_rng: bool = False):
+def make_eval_step(module, mesh=None, with_rng: bool = False, param_specs=None):
     """Jitted forward. ``with_rng=True`` adds a PRNG-key argument for the
-    random merge/drop modes (the reference's torch.rand draws)."""
+    random merge/drop modes (the reference's torch.rand draws).
+    ``param_specs``: tensor-parallel PartitionSpecs (else replicated)."""
     if with_rng:
 
         def step(params, frames, rng):
@@ -70,5 +91,14 @@ def make_eval_step(module, mesh=None, with_rng: bool = False):
         return jax.jit(step)
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
-    shardings = (rep, dat, rep) if with_rng else (rep, dat)
+    if param_specs is None:
+        par = rep
+    else:
+        from jax.sharding import NamedSharding
+
+        par = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), param_specs,
+            is_leaf=lambda s: isinstance(s, jax.sharding.PartitionSpec),
+        )
+    shardings = (par, dat, rep) if with_rng else (par, dat)
     return jax.jit(step, in_shardings=shardings)

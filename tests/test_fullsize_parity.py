@@ -165,3 +165,44 @@ def test_vivit_vitb_fullsize_merged_parity(ref_merge):
     assert np.argmax(got) == np.argmax(ref_logits)
     delta = np.abs(got - ref_logits).max()
     assert delta < 2e-2, f"max logits delta {delta}"
+
+
+def test_timesformer_vitb_fullsize_merged_parity(ref_merge):
+    torch = pytest.importorskip("torch")
+    from transformers import TimesformerConfig as HFConfig
+    from transformers import TimesformerForVideoClassification
+
+    from torch_oracles import timesformer_tome_forward
+    from vtm.checkpoints.convert import convert_timesformer
+    from vtm.models.timesformer import TimeSformer, TimeSformerConfig
+
+    torch.manual_seed(0)
+    hf = TimesformerForVideoClassification(
+        HFConfig(num_labels=400, attn_implementation="eager")  # ViT-B, 8f, 224
+    ).eval()
+    torch.nn.init.normal_(hf.timesformer.embeddings.cls_token, std=0.5)
+    torch.nn.init.normal_(hf.timesformer.embeddings.position_embeddings, std=0.5)
+    torch.nn.init.normal_(hf.timesformer.embeddings.time_embeddings, std=0.5)
+    sd = dict(hf.state_dict())
+    params = convert_timesformer(sd, depth=12, num_frames=8, spatial_tokens=196)
+
+    policy = MergePolicy(rs=(18,) * 12, mode="merge", prop_attn=True)
+    config = TimeSformerConfig(num_classes=400)
+    model = TimeSformer(config=config, policy=policy)
+
+    video = np.random.default_rng(2).standard_normal((1, 8, 224, 224, 3)).astype(np.float32)
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+    got = np.asarray(got)
+
+    ref_logits, ref_tokens = timesformer_tome_forward(
+        sd, video, rs=[18] * 12, ref_merge=ref_merge,
+        depth=12, heads=12, embed_dim=768, patch=16,
+    )
+    # per-frame P: 196 - 12*18 clamps never engage until P small? 196-216<0:
+    # the clamp kicks in at the tail; both sides must land identically
+    assert state.size.shape[0] == 8  # (B*T) per-frame sizes
+    assert 1 + state.size.shape[1] * 8 == ref_tokens
+    assert np.argmax(got) == np.argmax(ref_logits)
+    delta = np.abs(got - ref_logits).max()
+    assert delta < 1.5, f"free-running max logits delta {delta}"

@@ -68,6 +68,30 @@ class MotionformerConfig:
         return isinstance(self.num_classes, (tuple, list))
 
 
+class _HalfKV(nn.Module):
+    """proj_kv with the SAME parameter layout as nn.Dense(2*features)
+    but contracting only the k half — the v half is dead under the
+    reference's v=x trajectory typo (motionformer_vit_helper.py:160-164),
+    and XLA doesn't fully eliminate the fused kv matmul on its own."""
+
+    features: int  # k half width
+    use_bias: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], 2 * self.features),
+        )
+        y = x @ kernel[:, : self.features].astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (2 * self.features,))
+            y = y + bias[: self.features].astype(y.dtype)
+        return y
+
+
 class TrajectoryAttention(nn.Module):
     """Full-attention trajectory attention returning
     (out, metric or None). ``size`` is the per-pseudo-frame token size
@@ -156,18 +180,27 @@ class TrajectoryAttention(nn.Module):
         frame_of = jnp.arange(n - 1) // s  # body is (f n): token's own frame
         x_diag = jnp.take_along_axis(xq, frame_of[None, :, None, None], axis=2)[:, :, 0, :]
         q2 = nn.Dense(d, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_q")(x_diag)
-        kv2 = nn.Dense(d * 2, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_kv")(xq)
-        k2, v2 = jnp.split(kv2, 2, axis=-1)
+        if c.use_original_code:
+            # v=x typo (helper:160-164): proj_kv's v half is never used —
+            # contract only the k half explicitly (XLA doesn't fully DCE
+            # the fused kv matmul; measured 0.34 ms/layer at ViT-B)
+            k2 = _HalfKV(d, c.qkv_bias, dtype=self.dtype, name="proj_kv")(xq)
+            v2 = None
+        else:
+            kv2 = nn.Dense(d * 2, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_kv")(xq)
+            k2, v2 = jnp.split(kv2, 2, axis=-1)
         q2 = split_heads(q2, h) * scale  # [B,h,N',hd]
         k2 = k2.reshape(b, n - 1, f, h, hd).transpose(0, 3, 1, 2, 4)
-        v2 = v2.reshape(b, n - 1, f, h, hd).transpose(0, 3, 1, 2, 4)
         logits2 = jnp.einsum(
             "bhsd,bhsfd->bhsf", q2, k2, preferred_element_type=jnp.float32
         )
         attn2 = nn.softmax(logits2, axis=-1).astype(v.dtype)
         # use_original_code keeps the original v=x typo (helper:160-164):
         # the temporal values are the aggregated x, not proj_kv's v
-        val2 = xfa if c.use_original_code else v2
+        if c.use_original_code:
+            val2 = xfa
+        else:
+            val2 = v2.reshape(b, n - 1, f, h, hd).transpose(0, 3, 1, 2, 4)
         out = jnp.einsum("bhsf,bhsfd->bhsd", attn2, val2)
         out = merge_heads(out)  # [B, N', D]
 

@@ -206,3 +206,38 @@ def test_timesformer_vitb_fullsize_merged_parity(ref_merge):
     assert np.argmax(got) == np.argmax(ref_logits)
     delta = np.abs(got - ref_logits).max()
     assert delta < 1.5, f"free-running max logits delta {delta}"
+
+
+def test_motionformer_fullsize_merged_parity():
+    """Trajectory attention at the full spatial resolution (s=196 per
+    merge group — matching happens on the (s f) fold, so the spatial
+    token count is what full-size exercises; 8 input frames keep the
+    CPU cost sane), r=18, vs the hand-written torch oracle that
+    replicates the reference quirks ((s f)/(f n) fold mismatch, v=x,
+    inference softmax)."""
+    pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from conftest import load_reference_module
+    from test_motionformer import _torch_oracle
+    from vtm.models.motionformer import Motionformer, MotionformerConfig
+
+    ref_merge = load_reference_module("tome/merge.py", "ref_tome_merge_mf")
+    cfg = MotionformerConfig(num_classes=400, temporal_resolution=4)
+    model = Motionformer(
+        config=cfg, policy=MergePolicy(rs=(18,) * 12, mode="merge", prop_attn=True)
+    )
+    video = np.random.default_rng(5).standard_normal((1, 8, 224, 224, 3)).astype(np.float32)
+    params = model.init(jax.random.key(0), jnp.asarray(video))["params"]
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+    got = np.asarray(got)
+
+    ref = _torch_oracle(params, video, ref_merge=ref_merge, rs=(18,) * 12, cfg=cfg)
+    # per-(s f)-group sizes: s went 196 -> 196 - 12*18 clamped
+    assert state.size.shape[0] == 1 * cfg.temporal_resolution
+    assert np.argmax(got) == np.argmax(ref)
+    delta = np.abs(got - ref).max()
+    # probabilities (inference softmax applied) — boundary drift stays small
+    assert delta < 0.2, f"free-running max prob delta {delta}"

@@ -37,7 +37,7 @@ def _init(policy=MergePolicy()):
     return model, params
 
 
-def _torch_oracle(params, video, ref_merge=None, rs=(0, 0), prop_attn=True):
+def _torch_oracle(params, video, ref_merge=None, rs=(0, 0), prop_attn=True, cfg=None):
     import torch
     import torch.nn.functional as TF
 
@@ -47,7 +47,7 @@ def _torch_oracle(params, video, ref_merge=None, rs=(0, 0), prop_attn=True):
     def dense(p, x):
         return TF.linear(x, t(p["kernel"]).T, t(p["bias"]) if "bias" in p else None)
 
-    c = TINY
+    c = cfg or TINY
     h, d = c.num_heads, c.embed_dim
     hd = d // h
     f = c.temporal_resolution

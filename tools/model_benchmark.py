@@ -29,7 +29,7 @@ from vtm.utils.logging import get_logger, log_json_stats, setup_logging  # noqa:
 logger = get_logger(__name__)
 
 
-def perform_benchmark(module, params, cfg, mesh) -> dict:
+def perform_benchmark(module, params, cfg, mesh, batch_stats=None) -> dict:
     # batch must divide evenly over the mesh
     n_dev = mesh.devices.size
     batch = -(-cfg.TEST.BATCH_SIZE // n_dev) * n_dev
@@ -44,9 +44,13 @@ def perform_benchmark(module, params, cfg, mesh) -> dict:
     # warmup (compile) happens inside chained_seconds; remote backends
     # don't block in block_until_ready, so timing chains the iterations
     # on-device and synchronises via a scalar fetch.
-    elapsed = chained_seconds(
-        lambda p, v: module.apply({"params": p}, v)[0], dummy, iters, params=params
-    )
+    def fwd(p, v):
+        variables = {"params": p}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return module.apply(variables, v)[0]
+
+    elapsed = chained_seconds(fwd, dummy, iters, params=params)
 
     frame_time_ms = elapsed / (batch * t * iters) * 1000.0
     stats = {
@@ -70,7 +74,8 @@ def model_benchmark(cfg) -> dict:
     bundle = load_test_checkpoint(cfg, bundle)
     mesh = make_mesh()
     params = replicate(mesh, bundle.params)
-    return perform_benchmark(bundle.module, params, cfg, mesh)
+    return perform_benchmark(bundle.module, params, cfg, mesh,
+                             batch_stats=bundle.batch_stats)
 
 
 def main():

@@ -116,6 +116,7 @@ def test(cfg):
             with_rng=cfg.TOME.ENABLE
             and cfg.TOME.MODE in ("random_merge", "random_drop"),
             param_specs=specs,
+            batch_stats=bundle.batch_stats,
         )
 
         loader = construct_loader(cfg, "test")

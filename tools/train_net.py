@@ -71,7 +71,7 @@ def _labels_of(batch, multi_head):
 
 def train_epoch(
     loader, train_step, params, opt_state, lr_at, cur_epoch, meter, cfg, mesh,
-    multi_head, mixup_fn=None, tb_writer=None
+    multi_head, mixup_fn=None, tb_writer=None, bn_stats=None
 ):
     data_size = len(loader)
     meter.iter_tic()
@@ -88,9 +88,15 @@ def train_epoch(
             frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
             labels = _labels_of(batch, multi_head)
         meter.data_toc()
-        params, opt_state, loss, logits, aux = train_step(
-            params, opt_state, frames, labels, None
-        )
+        if bn_stats is not None:
+            params, bn_stats, opt_state, loss, logits, aux = train_step(
+                params, bn_stats, opt_state, frames, labels,
+                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
+            )
+        else:
+            params, opt_state, loss, logits, aux = train_step(
+                params, opt_state, frames, labels, None
+            )
         loss = float(loss)
         if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
             raise RuntimeError(f"NaN/inf loss at epoch {cur_epoch} iter {cur_iter}")
@@ -113,15 +119,19 @@ def train_epoch(
         meter.iter_tic()
     meter.log_epoch_stats(cur_epoch)
     meter.reset()
-    return params, opt_state
+    return params, opt_state, bn_stats
 
 
-def eval_epoch(loader, eval_step, params, meter, cur_epoch, cfg, multi_head):
+def eval_epoch(loader, eval_step, params, meter, cur_epoch, cfg, multi_head,
+               bn_stats=None):
     meter.iter_tic()
     for cur_iter, batch in enumerate(loader):
         frames, n_valid = pad_to_multiple(batch["frames"], cfg.TRAIN.BATCH_SIZE)
         meter.data_toc()
-        logits = eval_step(params, jnp.asarray(frames))
+        if bn_stats is not None:
+            logits = eval_step(params, bn_stats, jnp.asarray(frames))
+        else:
+            logits = eval_step(params, jnp.asarray(frames))
         meter.iter_toc()
         if multi_head:
             trimmed = (np.asarray(logits[0])[:n_valid], np.asarray(logits[1])[:n_valid])
@@ -160,8 +170,11 @@ def train(cfg):
         last = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
         opt_template = tx.init(bundle.params)
         bundle.params, restored_opt, start_epoch = cu.load_checkpoint(
-            last, bundle.params, opt_template
+            last, bundle.params, opt_template,
+            batch_stats_template=bundle.batch_stats,
         )
+        if cu.load_checkpoint.last_batch_stats is not None:
+            bundle.batch_stats = cu.load_checkpoint.last_batch_stats
         start_epoch += 1
         logger.info("Auto-resumed from %s (epoch %d)", last, start_epoch)
     elif cfg.TRAIN.CHECKPOINT_FILE_PATH:
@@ -184,11 +197,19 @@ def train(cfg):
         specs = None
         params = replicate(mesh, bundle.params)
     opt_state = restored_opt if restored_opt is not None else tx.init(params)
+    bn_stats = bundle.batch_stats
+    if bn_stats is not None:
+        bn_stats = replicate(mesh, bn_stats)
     train_step = make_train_step(
         bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=mesh,
-        param_specs=specs,
+        param_specs=specs, has_batch_stats=bn_stats is not None,
     )
-    eval_step = make_eval_step(bundle.module, mesh, param_specs=specs)
+    if bn_stats is not None:
+        from vtm.train.train_step import make_bn_eval_step
+
+        eval_step = make_bn_eval_step(bundle.module, mesh)
+    else:
+        eval_step = make_eval_step(bundle.module, mesh, param_specs=specs)
 
     train_loader = construct_loader(cfg, "train")
     val_loader = construct_loader(cfg, "val")
@@ -215,7 +236,7 @@ def train(cfg):
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
-        params, opt_state = train_epoch(
+        params, opt_state, bn_stats = train_epoch(
             train_loader,
             train_step,
             params,
@@ -228,11 +249,25 @@ def train(cfg):
             multi_head,
             mixup_fn=mixup_fn,
             tb_writer=tb_writer,
+            bn_stats=bn_stats,
         )
-        if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
-            cu.save_checkpoint(cfg.OUTPUT_DIR, params, opt_state, cur_epoch, cfg)
-        if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
-            eval_epoch(val_loader, eval_step, params, val_meter, cur_epoch, cfg, multi_head)
+        is_ckpt = (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
+        is_eval = (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
+        if bn_stats is not None and cfg.BN.USE_PRECISE_STATS and (is_ckpt or is_eval):
+            # reference: calculate_and_update_precise_bn before saving or
+            # evaluating (train_net.py:879-891)
+            from vtm.train.precise_bn import compute_precise_bn_stats
+
+            bn_stats = compute_precise_bn_stats(
+                bundle.module, params, bn_stats, train_loader,
+                min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
+            )
+        if is_ckpt:
+            cu.save_checkpoint(cfg.OUTPUT_DIR, params, opt_state, cur_epoch, cfg,
+                               batch_stats=bn_stats)
+        if is_eval:
+            eval_epoch(val_loader, eval_step, params, val_meter, cur_epoch, cfg,
+                       multi_head, bn_stats=bn_stats)
     if tb_writer is not None:
         tb_writer.close()
     wandb_utils.finish()

@@ -31,9 +31,11 @@ def _epoch_dir(output_dir: str, epoch: int) -> str:
     return os.path.join(checkpoint_dir(output_dir), f"epoch_{epoch:05d}")
 
 
-def save_checkpoint(output_dir: str, params, opt_state, epoch: int, cfg=None):
+def save_checkpoint(output_dir: str, params, opt_state, epoch: int, cfg=None,
+                    batch_stats=None):
     """Model + optimizer + epoch (the reference saves model_state,
-    optimizer, scaler and cfg — checkpoint.py:115-149)."""
+    optimizer, scaler and cfg — checkpoint.py:115-149). ``batch_stats``:
+    BN running statistics of the conv families."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(_epoch_dir(output_dir, epoch))
@@ -44,6 +46,8 @@ def save_checkpoint(output_dir: str, params, opt_state, epoch: int, cfg=None):
     }
     if opt_state is not None:
         payload["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
+    if batch_stats is not None:
+        payload["batch_stats"] = jax.tree_util.tree_map(np.asarray, batch_stats)
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
     if cfg is not None:
@@ -63,10 +67,13 @@ def get_last_checkpoint(output_dir: str) -> Optional[str]:
     return os.path.join(d, max(names))
 
 
-def load_checkpoint(path: str, params_template, opt_state_template=None):
-    """Restore (params, epoch) — and the optimizer state when a
-    template is given and the checkpoint carries one. Returns
-    (params, epoch) or (params, opt_state, epoch)."""
+def load_checkpoint(path: str, params_template, opt_state_template=None,
+                    batch_stats_template=None):
+    """Restore (params, epoch) — and the optimizer state / BN
+    batch_stats when templates are given and the checkpoint carries
+    them. Returns (params, epoch) or (params, opt_state, epoch);
+    restored batch_stats are exposed via
+    ``load_checkpoint.last_batch_stats`` (None when absent)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -74,6 +81,11 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
         "params": jax.tree_util.tree_map(np.asarray, params_template),
         "epoch": np.asarray(0),
     }
+    if batch_stats_template is not None:
+        target["batch_stats"] = jax.tree_util.tree_map(
+            np.asarray, batch_stats_template
+        )
+    load_checkpoint.last_batch_stats = None
     if opt_state_template is not None:
         with_opt = dict(target)
         with_opt["opt_state"] = jax.tree_util.tree_map(
@@ -81,13 +93,19 @@ def load_checkpoint(path: str, params_template, opt_state_template=None):
         )
         try:
             restored = ckptr.restore(os.path.abspath(path), with_opt)
+            load_checkpoint.last_batch_stats = restored.get("batch_stats")
             return restored["params"], restored["opt_state"], int(restored["epoch"])
         except Exception:  # older checkpoint without optimizer state
             restored = ckptr.restore(os.path.abspath(path))
+            load_checkpoint.last_batch_stats = restored.get("batch_stats")
             return restored["params"], None, int(restored["epoch"])
-    # params-only restore of a checkpoint that may carry opt_state:
-    # restore without a target (plain dict tree) and take what we need
-    restored = ckptr.restore(os.path.abspath(path))
+    try:
+        restored = ckptr.restore(os.path.abspath(path), target)
+    except Exception:
+        # payload richer than the target (opt state / BN stats):
+        # restore without a target and take what we need
+        restored = ckptr.restore(os.path.abspath(path))
+    load_checkpoint.last_batch_stats = restored.get("batch_stats")
     return restored["params"], int(restored["epoch"])
 
 
@@ -135,7 +153,11 @@ def load_test_checkpoint(cfg, bundle):
         # checkpoint in OUTPUT_DIR, then TRAIN.CHECKPOINT_FILE_PATH
         last = get_last_checkpoint(cfg.OUTPUT_DIR)
         if last is not None:
-            bundle.params, _ = load_checkpoint(last, bundle.params)
+            bundle.params, _ = load_checkpoint(
+                last, bundle.params, batch_stats_template=bundle.batch_stats
+            )
+            if load_checkpoint.last_batch_stats is not None:
+                bundle.batch_stats = load_checkpoint.last_batch_stats
             logger.info("Testing with last train checkpoint %s", last)
             return bundle
         if cfg.TRAIN.CHECKPOINT_FILE_PATH:
@@ -144,7 +166,11 @@ def load_test_checkpoint(cfg, bundle):
             logger.info("No checkpoint found — random init")
             return bundle
     if os.path.isdir(path):  # native orbax checkpoint
-        bundle.params, _ = load_checkpoint(path, bundle.params)
+        bundle.params, _ = load_checkpoint(
+            path, bundle.params, batch_stats_template=bundle.batch_stats
+        )
+        if load_checkpoint.last_batch_stats is not None:
+            bundle.batch_stats = load_checkpoint.last_batch_stats
         return bundle
     from vtm.checkpoints import convert
 
@@ -162,6 +188,12 @@ def load_test_checkpoint(cfg, bundle):
         )
     elif bundle.name == "Motionformer":
         converted = convert.convert_motionformer(sd, depth=bundle.config.depth)
+    elif bundle.name in ("SlowFast", "ResNet", "X3D"):
+        converted, stats = convert.convert_pyslowfast(
+            sd, num_splits=bundle.config.norm.num_splits
+        )
+        if stats:
+            bundle.batch_stats = stats
     else:
         raise NotImplementedError(bundle.name)
     if bundle.params is not None:

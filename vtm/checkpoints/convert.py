@@ -403,3 +403,59 @@ def convert_motionformer(sd: Mapping[str, np.ndarray], depth: int) -> dict:
         if f"head{h}.weight" in sd:
             params[f"head{h}"] = _dense(sd, f"head{h}")
     return params
+
+
+def convert_pyslowfast(sd: Mapping[str, np.ndarray], num_splits: int = 1) -> tuple:
+    """PySlowFast conv-family state dict (SlowFast/ResNet/X3D `.pyth`)
+    -> (params, batch_stats) flax trees.
+
+    vtm's conv modules (vtm/models/{convnet,slowfast}.py) keep the
+    reference module names (`s1.pathway0_stem.conv`, `s4.pathway0_res2.
+    branch2.a_bn`, `head.projection`, ...), so conversion is purely
+    structural: conv kernels transpose OIDHW->DHWIO, linear weights
+    transpose, BN affine/running stats split into params/batch_stats
+    (reference slowfast/utils/checkpoint.py:191-302 torch load path).
+    SubBatchNorm modules (`X.bn` + `X.split_bn` children,
+    batchnorm_helper.py:40-112) fold into one vtm BatchNorm with
+    `split_mean/split_var` stats of shape [num_splits, C].
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, leaf, value):
+        node = tree
+        for part in path:
+            node = node.setdefault(part, {})
+        node[leaf] = value
+
+    def is_subbn(mod):
+        # SubBatchNorm3d wrapper: has a `split_bn` child
+        return ".".join(mod + ["split_bn", "running_mean"]) in sd
+
+    for key, v in sd.items():
+        v = _np(v)
+        parts = key.split(".")
+        mod, leaf = parts[:-1], parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if leaf in ("running_mean", "running_var"):
+            name = "mean" if leaf == "running_mean" else "var"
+            if mod and mod[-1] == "split_bn":
+                put(stats, mod[:-1], f"split_{name}", v.reshape(num_splits, -1))
+            elif mod and mod[-1] == "bn" and is_subbn(mod[:-1]):
+                put(stats, mod[:-1], name, v)  # SubBN inner eval stats
+            else:
+                put(stats, mod, name, v)
+            continue
+        if leaf == "weight":
+            if v.ndim == 5:  # conv3d OIDHW -> DHWIO
+                put(params, mod, "kernel", v.transpose(2, 3, 4, 1, 0))
+            elif v.ndim == 2:  # linear
+                put(params, mod, "kernel", v.T)
+            else:  # BN affine (SubBN keeps affine on the wrapper itself)
+                put(params, mod, "scale", v)
+            continue
+        if leaf == "bias":
+            put(params, mod, "bias", v)
+            continue
+    return params, stats

@@ -108,6 +108,96 @@ def get_cfg() -> CfgNode:
     _C.MODEL.LOSS_FUNC = "cross_entropy"
     _C.MODEL.DROPOUT_RATE = 0.5
     _C.MODEL.HEAD_ACT = "softmax"
+    _C.MODEL.FC_INIT_STD = 0.01
+    _C.MODEL.DROPCONNECT_RATE = 0.0
+    _C.MODEL.DETACH_FINAL_FC = False
+    _C.MODEL.ACT_CHECKPOINT = False  # JAX analog: jax.checkpoint remat
+
+    # minimal CONTRASTIVE keys read by the shared ResNet head
+    # (reference head_helper.py:134-151; the contrastive SSL task itself
+    # is out of scope, SURVEY §8)
+    _C.CONTRASTIVE = CfgNode()
+    _C.CONTRASTIVE.NUM_MLP_LAYERS = 1
+    _C.CONTRASTIVE.MLP_DIM = 128
+    _C.CONTRASTIVE.BN_MLP = False
+    _C.CONTRASTIVE.BN_SYNC_MLP = False
+    _C.CONTRASTIVE.PREDICTOR_DEPTHS = []
+
+    # ------------------------------------------------- legacy conv families
+    # (reference defaults.py RESNET/SLOWFAST/X3D/NONLOCAL/BN sections —
+    # exercised by the SLOWFAST_*_R50/R101 yamls shipped with the repo)
+    _C.RESNET = CfgNode()
+    _C.RESNET.TRANS_FUNC = "bottleneck_transform"
+    _C.RESNET.NUM_GROUPS = 1
+    _C.RESNET.WIDTH_PER_GROUP = 64
+    _C.RESNET.INPLACE_RELU = True
+    _C.RESNET.STRIDE_1X1 = False
+    _C.RESNET.ZERO_INIT_FINAL_BN = False
+    _C.RESNET.ZERO_INIT_FINAL_CONV = False
+    _C.RESNET.DEPTH = 50
+    _C.RESNET.NUM_BLOCK_TEMP_KERNEL = [[3], [4], [6], [3]]
+    _C.RESNET.SPATIAL_STRIDES = [[1], [2], [2], [2]]
+    _C.RESNET.SPATIAL_DILATIONS = [[1], [1], [1], [1]]
+
+    _C.SLOWFAST = CfgNode()
+    _C.SLOWFAST.BETA_INV = 8
+    _C.SLOWFAST.ALPHA = 8
+    _C.SLOWFAST.FUSION_CONV_CHANNEL_RATIO = 2
+    _C.SLOWFAST.FUSION_KERNEL_SZ = 5
+
+    _C.X3D = CfgNode()
+    _C.X3D.WIDTH_FACTOR = 1.0
+    _C.X3D.DEPTH_FACTOR = 1.0
+    _C.X3D.BOTTLENECK_FACTOR = 1.0
+    _C.X3D.DIM_C5 = 2048
+    _C.X3D.DIM_C1 = 12
+    _C.X3D.SCALE_RES2 = False
+    _C.X3D.BN_LIN5 = False
+    _C.X3D.CHANNELWISE_3x3x3 = True
+
+    _C.NONLOCAL = CfgNode()
+    _C.NONLOCAL.LOCATION = [[[]], [[]], [[]], [[]]]
+    _C.NONLOCAL.GROUP = [[1], [1], [1], [1]]
+    _C.NONLOCAL.INSTANTIATION = "dot_product"
+    _C.NONLOCAL.POOL = [
+        [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]],
+        [[1, 2, 2], [1, 2, 2]],
+    ]
+
+    _C.BN = CfgNode()
+    _C.BN.USE_PRECISE_STATS = False
+    _C.BN.NUM_BATCHES_PRECISE = 200
+    _C.BN.WEIGHT_DECAY = 0.0
+    # batchnorm | sub_batchnorm | sync_batchnorm — under a jitted
+    # data-parallel mesh plain BN already computes global-batch stats,
+    # so sync_batchnorm needs no extra machinery here.
+    _C.BN.NORM_TYPE = "batchnorm"
+    _C.BN.NUM_SPLITS = 1
+    _C.BN.NUM_SYNC_DEVICES = 1
+    _C.BN.GLOBAL_SYNC = False
+
+    _C.DETECTION = CfgNode()
+    _C.DETECTION.ENABLE = False
+
+    _C.MULTIGRID = CfgNode()
+    _C.MULTIGRID.LONG_CYCLE = False
+    _C.MULTIGRID.SHORT_CYCLE = False
+    _C.MULTIGRID.EPOCH_FACTOR = 1.5
+    _C.MULTIGRID.SHORT_CYCLE_FACTORS = [0.5, 0.5**0.5]
+    _C.MULTIGRID.LONG_CYCLE_FACTORS = [
+        (0.25, 0.5**0.5),
+        (0.5, 0.5**0.5),
+        (0.5, 1),
+        (1, 1),
+    ]
+    _C.MULTIGRID.BN_BASE_SIZE = 8
+    _C.MULTIGRID.EVAL_FREQ = 3
+    _C.MULTIGRID.LONG_CYCLE_SAMPLING_RATE = 0
+    _C.MULTIGRID.DEFAULT_B = 0
+    _C.MULTIGRID.DEFAULT_T = 0
+    _C.MULTIGRID.DEFAULT_S = 0
 
     # ----------------------------------------------------------- TIMESFORMER
     _C.TIMESFORMER = CfgNode()

@@ -36,6 +36,17 @@ class ModelBundle:
     config: Any
     policy: MergePolicy
     name: str
+    # BN models (SlowFast/ResNet/X3D) carry running statistics alongside
+    # the params (flax "batch_stats" collection); None for the
+    # transformer families.
+    batch_stats: Any = None
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
 
     def apply(self, x, rng: Optional[jax.Array] = None, trace_source: bool = False):
         """Forward pass. x: [B, T, H, W, C] channels-last.
@@ -48,7 +59,7 @@ class ModelBundle:
             module = module.clone(
                 policy=dataclasses.replace(self.policy, trace_source=True)
             )
-        out, state = module.apply({"params": self.params}, x, rng=rng)
+        out, state = module.apply(self.variables, x, rng=rng)
         return out, state
 
     @property
@@ -81,7 +92,9 @@ class ModelBundle:
 
     def init_params(self, rng: jax.Array, sample: jax.Array):
         # the merge rng is only consumed by random merge/drop modes
-        self.params = self.module.init(rng, sample, rng=rng)["params"]
+        variables = self.module.init(rng, sample, rng=rng)
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
         return self.params
 
 

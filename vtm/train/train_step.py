@@ -19,36 +19,72 @@ from vtm.train import losses as loss_lib
 
 
 def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None,
-                    param_specs=None):
+                    param_specs=None, has_batch_stats: bool = False):
     """``param_specs``: optional PartitionSpec pytree for the params
     (tensor parallelism — vtm/parallel/sharding.py); None = replicated.
     Gradients/optimizer state inherit the param shardings from jit's
-    output propagation."""
+    output propagation.
+
+    ``has_batch_stats=True`` (BN conv families): the step takes and
+    returns the flax batch_stats collection — the BN running-stat
+    update of the reference's forward pass. Under a jitted
+    data-parallel mesh the statistics are computed over the GLOBAL
+    batch (sync-BN semantics)."""
     base_loss = loss_lib.get_loss_func(loss_name)
 
-    def step(params, opt_state, frames, labels, rngs: Optional[jax.Array] = None):
-        def loss_fn(p):
-            logits, _ = module.apply({"params": p}, frames, rng=rngs)
-            if multi_head:
-                verb = base_loss(logits[0], labels["verb"])
-                noun = base_loss(logits[1], labels["noun"])
-                loss = 0.5 * (verb + noun)  # reference train_net.py:157-161
-                return loss, (logits, (verb, noun))
-            loss = base_loss(logits, labels)
-            return loss, (logits, ())
+    def _loss(p, bn, frames, labels, rngs):
+        variables = {"params": p}
+        if bn is not None:
+            variables["batch_stats"] = bn
+            (logits, _), mutated = module.apply(
+                variables, frames, rng=rngs, train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rngs if rngs is not None else jax.random.key(0)},
+            )
+            new_bn = mutated["batch_stats"]
+        else:
+            logits, _ = module.apply(variables, frames, rng=rngs)
+            new_bn = None
+        if multi_head:
+            verb = base_loss(logits[0], labels["verb"])
+            noun = base_loss(logits[1], labels["noun"])
+            loss = 0.5 * (verb + noun)  # reference train_net.py:157-161
+            return loss, (logits, (verb, noun), new_bn)
+        loss = base_loss(logits, labels)
+        return loss, (logits, (), new_bn)
 
-        (loss, (logits, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params
-        )
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_opt_state, loss, logits, aux
+    if has_batch_stats:
+
+        def step(params, bn, opt_state, frames, labels, rngs: Optional[jax.Array] = None):
+            (loss, (logits, aux, new_bn)), grads = jax.value_and_grad(
+                _loss, has_aux=True
+            )(params, bn, frames, labels, rngs)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bn, new_opt_state, loss, logits, aux
+
+    else:
+
+        def step(params, opt_state, frames, labels, rngs: Optional[jax.Array] = None):
+            (loss, (logits, aux, _)), grads = jax.value_and_grad(
+                _loss, has_aux=True
+            )(params, None, frames, labels, rngs)
+            updates, new_opt_state = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt_state, loss, logits, aux
 
     if mesh is None:
         return jax.jit(step)
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
     label_shard = {"verb": dat, "noun": dat} if multi_head else dat
+    if has_batch_stats:
+        assert param_specs is None, "tp not wired for BN conv families"
+        return jax.jit(
+            step,
+            in_shardings=(rep, rep, rep, dat, label_shard, rep),
+            donate_argnums=(0, 1, 2),
+        )
     if param_specs is None:
         return jax.jit(
             step,
@@ -71,20 +107,30 @@ def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None,
     )
 
 
-def make_eval_step(module, mesh=None, with_rng: bool = False, param_specs=None):
+def make_eval_step(module, mesh=None, with_rng: bool = False, param_specs=None,
+                   batch_stats=None):
     """Jitted forward. ``with_rng=True`` adds a PRNG-key argument for the
     random merge/drop modes (the reference's torch.rand draws).
-    ``param_specs``: tensor-parallel PartitionSpecs (else replicated)."""
+    ``param_specs``: tensor-parallel PartitionSpecs (else replicated).
+    ``batch_stats``: BN running stats for the conv families — closed
+    over (read-only at eval; a few hundred KB, far below the remote
+    compiler's constant limit)."""
+
+    def _vars(params):
+        if batch_stats is None:
+            return {"params": params}
+        return {"params": params, "batch_stats": batch_stats}
+
     if with_rng:
 
         def step(params, frames, rng):
-            logits, _ = module.apply({"params": params}, frames, rng=rng)
+            logits, _ = module.apply(_vars(params), frames, rng=rng)
             return logits
 
     else:
 
         def step(params, frames):
-            logits, _ = module.apply({"params": params}, frames)
+            logits, _ = module.apply(_vars(params), frames)
             return logits
 
     if mesh is None:
@@ -102,3 +148,21 @@ def make_eval_step(module, mesh=None, with_rng: bool = False, param_specs=None):
         )
     shardings = (par, dat, rep) if with_rng else (par, dat)
     return jax.jit(step, in_shardings=shardings)
+
+
+def make_bn_eval_step(module, mesh=None):
+    """Jitted eval forward for the BN conv families: the running stats
+    are a step ARGUMENT (they evolve during training, so baking them in
+    as constants would recompile every eval epoch)."""
+
+    def step(params, batch_stats, frames):
+        logits, _ = module.apply(
+            {"params": params, "batch_stats": batch_stats}, frames
+        )
+        return logits
+
+    if mesh is None:
+        return jax.jit(step)
+    rep = replicated_sharding(mesh)
+    dat = batch_sharding(mesh)
+    return jax.jit(step, in_shardings=(rep, rep, dat))

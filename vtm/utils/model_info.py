@@ -27,10 +27,17 @@ def params_bytes(params) -> int:
     )
 
 
-def flop_count(module, params, sample: jax.Array) -> float:
+def flop_count(module, params, sample: jax.Array, batch_stats=None) -> float:
     """FLOPs of one forward pass from XLA cost analysis (analog of
     fvcore flop_count on a dummy input, misc.py:139)."""
-    fn = jax.jit(lambda p, v: module.apply({"params": p}, v))
+
+    def fwd(p, v):
+        variables = {"params": p}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return module.apply(variables, v)
+
+    fn = jax.jit(fwd)
     compiled = fn.lower(params, sample).compile()
     cost = compiled.cost_analysis()
     if isinstance(cost, list):  # older jax returns [dict]
@@ -55,7 +62,7 @@ def log_model_info(bundle, cfg, use_train_input: bool = False) -> dict:
     t = cfg.DATA.NUM_FRAMES
     s = cfg.DATA.TRAIN_CROP_SIZE if use_train_input else cfg.DATA.TEST_CROP_SIZE
     sample = jnp.zeros((1, t, s, s, 3), jnp.float32)
-    flops = flop_count(bundle.module, bundle.params, sample)
+    flops = flop_count(bundle.module, bundle.params, sample, bundle.batch_stats)
     stats = {
         "model": bundle.name,
         "params": params_count(bundle.params),

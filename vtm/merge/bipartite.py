@@ -318,17 +318,67 @@ def merge_wavg(
 
     Returns (x_merged, size_merged); ``size`` tracks how many original
     tokens each current token represents (used by proportional attn).
+
+    HBM-minimal formulation (the merge step is bandwidth-bound on TPU):
+    unmerged src rows are mathematically identity under the wavg
+    ((x*size)/size), so they are plain row gathers — the mass
+    multiply/divide runs only over the r merged rows and the dst half,
+    and the division fuses into the one-hot contraction's consumer.
+    Equivalent to the reference's merge(x*size)/merge(size) to fp
+    rounding.
     """
     if size is None:
-        size = jnp.ones_like(x[..., :1])
+        size = jnp.ones(x.shape[:2] + (1,), jnp.float32)
+    # sizes are token counts: keep them f32 (bf16 cannot represent
+    # integers > 256 exactly, and max-merging rows reach ~1568)
+    size = size.astype(jnp.float32)
     if m is None:
         return x, size
-    # one fused segment-sum over [x*size, size] (channel concat) instead
-    # of two merges — halves the one-hot contractions on TPU
-    packed = jnp.concatenate([x * size, size.astype(x.dtype)], axis=-1)
-    packed = merge(m, packed, mode="sum", threshold=threshold)
-    xm, size = packed[..., :-1], packed[..., -1:]
-    return xm / size, size
+    src_x, dst_x = x[:, ::2, :], x[:, 1::2, :]
+    src_s, dst_s = size[:, ::2, :], size[:, 1::2, :]
+
+    unm_x = _gather(src_x, m.unm_idx)
+    unm_s = _gather(src_s, m.unm_idx)
+
+    sel_s = _gather(src_s, m.src_idx)  # [B, r, 1]
+    sel_mass = _gather(src_x, m.src_idx) * sel_s.astype(x.dtype)
+
+    oh_f = _one_hot(m.dst_idx, dst_x.shape[1], jnp.float32)  # [B, r, tb]
+    if threshold is not None:
+        # hybrid: zero every dst (mass AND size) that receives >=1
+        # sub-threshold edge before the scatter-sum (reference
+        # tome/merge.py:326-330 scatter_reduce(prod) of the indicator)
+        below = (m.src_score < threshold).astype(jnp.float32)  # [B, r]
+        hits = jnp.einsum("brt,br->bt", oh_f, below)
+        keep = (hits == 0).astype(jnp.float32)[:, :, None]
+        dst_x = dst_x * keep.astype(dst_x.dtype)
+        dst_s = dst_s * keep
+
+    args = (((1,), (1,)), ((0,), (0,)))  # contract r, batch B
+    # mass: bf16 in/out with f32 MXU accumulation (one rounding at the
+    # end); size: exact f32 (a [*, 1] column — negligible matvec)
+    add_mass = jax.lax.dot_general(
+        oh_f.astype(x.dtype), sel_mass, args, preferred_element_type=x.dtype
+    )
+    add_size = jax.lax.dot_general(
+        oh_f, sel_s, args, preferred_element_type=jnp.float32
+    )
+    dst_size = dst_s + add_size
+    dst_out = (
+        dst_x * dst_s.astype(x.dtype) + add_mass
+    ) / dst_size.astype(x.dtype)
+
+    if m.distill_token:
+        xm = jnp.concatenate(
+            [unm_x[:, :1], dst_out[:, :1], unm_x[:, 1:], dst_out[:, 1:]], axis=1
+        )
+        sm = jnp.concatenate(
+            [unm_s[:, :1], dst_size[:, :1], unm_s[:, 1:], dst_size[:, 1:]], axis=1
+        )
+        return xm, sm
+    xm = jnp.concatenate([unm_x, dst_out], axis=1)
+    sm = jnp.concatenate([unm_s, dst_size], axis=1)
+    return xm, sm
 
 
 def merge_source(

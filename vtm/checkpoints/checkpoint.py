@@ -188,6 +188,8 @@ def load_test_checkpoint(cfg, bundle):
         )
     elif bundle.name == "Motionformer":
         converted = convert.convert_motionformer(sd, depth=bundle.config.depth)
+    elif bundle.name == "MViT":
+        converted = convert.convert_mvit(sd, depth=bundle.config.depth)
     elif bundle.name in ("SlowFast", "ResNet", "X3D"):
         converted, stats = convert.convert_pyslowfast(
             sd, num_splits=bundle.config.norm.num_splits

@@ -459,3 +459,54 @@ def convert_pyslowfast(sd: Mapping[str, np.ndarray], num_splits: int = 1) -> tup
             put(params, mod, "bias", v)
             continue
     return params, stats
+
+
+def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
+    """MViT state dict -> vtm MViTModel params
+    (builder: video_model_builder.py:809-1267 + attention.py)."""
+    sd = dict(strip_prefixes({k: _np(v) for k, v in sd.items()}))
+    params: dict = {"norm": _layernorm(sd, "norm")}
+    for key in ("cls_token", "pos_embed", "pos_embed_spatial",
+                "pos_embed_temporal", "pos_embed_class"):
+        if key in sd:
+            params[key] = sd[key]
+    params["patch_embed"] = _conv3d(sd, "patch_embed.proj")
+    if "norm_stem.weight" in sd:
+        params["norm_stem"] = _layernorm(sd, "norm_stem")
+    for i in range(depth):
+        pre = f"blocks.{i}"
+        attn: dict = {"proj": _dense(sd, f"{pre}.attn.proj")}
+        if f"{pre}.attn.qkv.weight" in sd:
+            attn["qkv"] = _dense(sd, f"{pre}.attn.qkv")
+        for nm in ("q", "k", "v"):
+            if f"{pre}.attn.{nm}.weight" in sd:
+                attn[nm] = _dense(sd, f"{pre}.attn.{nm}")
+        for nm in ("q", "k", "v"):
+            mod = {}
+            if f"{pre}.attn.pool_{nm}.weight" in sd:
+                w = sd[f"{pre}.attn.pool_{nm}.weight"]  # [C,1,kt,kh,kw]
+                mod["pool"] = {"kernel": w.transpose(2, 3, 4, 1, 0)}
+            if f"{pre}.attn.norm_{nm}.weight" in sd:
+                mod["norm"] = _layernorm(sd, f"{pre}.attn.norm_{nm}")
+            if mod:
+                attn[f"pool_{nm}_mod"] = mod
+        for nm in ("rel_pos_h", "rel_pos_w", "rel_pos_t"):
+            if f"{pre}.attn.{nm}" in sd:
+                attn[nm] = sd[f"{pre}.attn.{nm}"]
+        blk = {
+            "norm1": _layernorm(sd, f"{pre}.norm1"),
+            "norm2": _layernorm(sd, f"{pre}.norm2"),
+            "attn": attn,
+            "mlp": {
+                "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+                "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+            },
+        }
+        if f"{pre}.proj.weight" in sd:
+            blk["proj"] = _dense(sd, f"{pre}.proj")
+        for g in ("gamma_1", "gamma_2"):
+            if f"{pre}.{g}" in sd:
+                blk[g] = sd[f"{pre}.{g}"]
+        params[f"blocks_{i}"] = blk
+    params["head"] = _dense(sd, "head.projection")
+    return params

@@ -155,6 +155,46 @@ def get_cfg() -> CfgNode:
     _C.X3D.BN_LIN5 = False
     _C.X3D.CHANNELWISE_3x3x3 = True
 
+    _C.MVIT = CfgNode()
+    _C.MVIT.MODE = "conv"
+    _C.MVIT.POOL_FIRST = False
+    _C.MVIT.CLS_EMBED_ON = True
+    _C.MVIT.PATCH_KERNEL = [3, 7, 7]
+    _C.MVIT.PATCH_STRIDE = [2, 4, 4]
+    _C.MVIT.PATCH_PADDING = [2, 4, 4]
+    _C.MVIT.PATCH_2D = False
+    _C.MVIT.EMBED_DIM = 96
+    _C.MVIT.NUM_HEADS = 1
+    _C.MVIT.MLP_RATIO = 4.0
+    _C.MVIT.QKV_BIAS = True
+    _C.MVIT.DROPPATH_RATE = 0.1
+    _C.MVIT.LAYER_SCALE_INIT_VALUE = 0.0
+    _C.MVIT.DEPTH = 16
+    _C.MVIT.NORM = "layernorm"
+    _C.MVIT.DIM_MUL = []
+    _C.MVIT.HEAD_MUL = []
+    _C.MVIT.POOL_KV_STRIDE = []
+    _C.MVIT.POOL_KV_STRIDE_ADAPTIVE = None
+    _C.MVIT.POOL_Q_STRIDE = []
+    _C.MVIT.POOL_KVQ_KERNEL = None
+    _C.MVIT.ZERO_DECAY_POS_CLS = True
+    _C.MVIT.NORM_STEM = False
+    _C.MVIT.SEP_POS_EMBED = False
+    _C.MVIT.DROPOUT_RATE = 0.0
+    _C.MVIT.USE_ABS_POS = True
+    _C.MVIT.REL_POS_SPATIAL = False
+    _C.MVIT.REL_POS_TEMPORAL = False
+    _C.MVIT.REL_POS_ZERO_INIT = False
+    _C.MVIT.RESIDUAL_POOLING = False
+    _C.MVIT.DIM_MUL_IN_ATT = False
+    _C.MVIT.SEPARATE_QKV = False
+    _C.MVIT.HEAD_INIT_SCALE = 1.0
+    _C.MVIT.USE_MEAN_POOLING = False
+    _C.MVIT.USE_FIXED_SINCOS_POS = False
+    _C.MVIT.REV = CfgNode()
+    _C.MVIT.REV.ENABLE = False
+    _C.MVIT.REV.RESPATH_FUSE = "concat"
+
     _C.NONLOCAL = CfgNode()
     _C.NONLOCAL.LOCATION = [[[]], [[]], [[]], [[]]]
     _C.NONLOCAL.GROUP = [[1], [1], [1], [1]]

@@ -52,7 +52,10 @@ def test_reference_yamls_load(relpath):
         pytest.skip(f"{relpath} not in reference checkout")
     cfg = get_cfg()
     cfg.merge_from_file(str(path), allow_new=True)
-    assert cfg.MODEL.MODEL_NAME in ("VideoMAE", "ViViT", "TimeSformer", "Motionformer")
+    assert cfg.MODEL.MODEL_NAME in (
+            "VideoMAE", "ViViT", "TimeSformer", "Motionformer",
+            "SlowFast", "ResNet", "X3D", "MViT",
+        )
     assert_and_infer_cfg(cfg)
 
 
@@ -76,4 +79,7 @@ def test_shipped_configs_valid(rel):
     cfg = get_cfg()
     cfg.merge_from_file(str(REPO / "configs" / rel))
     assert_and_infer_cfg(cfg)
-    assert cfg.MODEL.MODEL_NAME in ("VideoMAE", "ViViT", "TimeSformer", "Motionformer")
+    assert cfg.MODEL.MODEL_NAME in (
+            "VideoMAE", "ViViT", "TimeSformer", "Motionformer",
+            "SlowFast", "ResNet", "X3D", "MViT",
+        )

@@ -152,6 +152,14 @@ def train(cfg):
     np.random.seed(cfg.RNG_SEED)
     logger.info("Train with config:\n%s", cfg.dump())
 
+    multigrid = None
+    if cfg.MULTIGRID.LONG_CYCLE or cfg.MULTIGRID.SHORT_CYCLE:
+        # reference train_net.py:663-668 + 806-830
+        from vtm.train.multigrid import MultigridSchedule
+
+        multigrid = MultigridSchedule()
+        cfg = multigrid.init_multigrid(cfg)
+
     bundle = build_model(cfg)
     multi_head = isinstance(bundle.config.num_classes, (tuple, list))
     depth = getattr(bundle.config, "depth", None) or getattr(
@@ -235,6 +243,38 @@ def train(cfg):
     wandb_utils.init(cfg)
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
+            cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
+            if changed:
+                # rebuild the model spec/loaders for the new base shape;
+                # params are shape-independent (conv families), only the
+                # BN stat tree re-shapes when NORM_TYPE flips
+                from vtm.train.multigrid import adapt_batch_stats
+
+                bundle = build_model(cfg, init=False)
+                if bn_stats is not None:
+                    sample = jnp.zeros(
+                        (2, cfg.DATA.NUM_FRAMES, cfg.DATA.TRAIN_CROP_SIZE,
+                         cfg.DATA.TRAIN_CROP_SIZE, 3), jnp.float32,
+                    )
+                    bn_stats = adapt_batch_stats(
+                        bundle.module, params, bn_stats, sample
+                    )
+                    bn_stats = replicate(mesh, bn_stats)
+                train_step = make_train_step(
+                    bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head,
+                    mesh=mesh, param_specs=specs,
+                    has_batch_stats=bn_stats is not None,
+                )
+                if bn_stats is not None:
+                    from vtm.train.train_step import make_bn_eval_step
+
+                    eval_step = make_bn_eval_step(bundle.module, mesh)
+                else:
+                    eval_step = make_eval_step(
+                        bundle.module, mesh, param_specs=specs
+                    )
+                train_loader = construct_loader(cfg, "train")
         shuffle_dataset(train_loader, cur_epoch)
         params, opt_state, bn_stats = train_epoch(
             train_loader,

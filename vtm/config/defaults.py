@@ -73,6 +73,15 @@ def get_cfg() -> CfgNode:
     _C.DATA.USE_OFFSET_SAMPLING = False
     _C.DATA.DUMMY_LOAD = False
     _C.DATA.TRAIN_JITTER_FPS = 0.0
+    # ImageNet path (reference defaults.py:675-687, 800)
+    _C.DATA.TRAIN_PCA_EIGVAL = [0.225, 0.224, 0.229]
+    _C.DATA.TRAIN_PCA_EIGVEC = [
+        [-0.5675, 0.7192, 0.4009],
+        [-0.5808, -0.0045, -0.8140],
+        [-0.5836, -0.6948, 0.4203],
+    ]
+    _C.DATA.PATH_TO_PRELOAD_IMDB = ""
+    _C.DATA.IN_VAL_CROP_RATIO = 0.875
 
     # --------------------------------------------------------------- SOLVER
     _C.SOLVER = CfgNode()

@@ -64,8 +64,13 @@ class Kinetics:
     def __len__(self):
         return len(self._path_to_videos)
 
-    def __getitem__(self, index: int) -> dict:
+    def __getitem__(self, index) -> dict:
         cfg = self.cfg
+        # short-cycle multigrid passes (index, cycle_idx) tuples
+        # (reference kinetics.py:191-200 / multigrid_helper.py)
+        short_cycle_idx = None
+        if isinstance(index, tuple):
+            index, short_cycle_idx = index
         if cfg.DATA.DUMMY_LOAD and self._dummy_cache is not None:
             frames, label = self._dummy_cache
             return {"frames": frames, "label": label, "index": index}
@@ -75,6 +80,18 @@ class Kinetics:
             spatial_sample_index = -1
             min_scale, max_scale = cfg.DATA.TRAIN_JITTER_SCALES
             crop_size = cfg.DATA.TRAIN_CROP_SIZE
+            if short_cycle_idx in (0, 1):
+                crop_size = int(
+                    round(
+                        cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                        * cfg.MULTIGRID.DEFAULT_S
+                    )
+                )
+            if cfg.MULTIGRID.DEFAULT_S > 0:
+                # decreasing the scale ~ larger sampling-grid span
+                min_scale = int(
+                    round(float(min_scale) * crop_size / cfg.MULTIGRID.DEFAULT_S)
+                )
         else:
             temporal_sample_index = (
                 self._spatial_temporal_idx[index] // cfg.TEST.NUM_SPATIAL_CROPS

@@ -48,6 +48,7 @@ class BatchLoader:
         drop_last: bool = False,
         num_workers: int = 4,
         seed: int = 0,
+        short_cycle_batch_sizes=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,9 +57,15 @@ class BatchLoader:
         self.num_workers = max(1, num_workers)
         self.epoch = 0
         self.seed = seed
+        # multigrid short cycle: 3-phase batch sizes; items become
+        # (index, cycle_idx) tuples (reference multigrid_helper.py)
+        self.short_cycle_batch_sizes = short_cycle_batch_sizes
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.short_cycle_batch_sizes is not None:
+            avg = sum(self.short_cycle_batch_sizes) / 3.0
+            return int(n // avg) if self.drop_last else int(-(-n // avg))
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -70,12 +77,25 @@ class BatchLoader:
         order: List[int] = list(range(len(self.dataset)))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
-        batches = [
-            order[i : i + self.batch_size]
-            for i in range(0, len(order), self.batch_size)
-        ]
-        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
-            batches = batches[:-1]
+        if self.short_cycle_batch_sizes is not None:
+            # 3-phase short-cycle batches (multigrid_helper.py:61-73)
+            batches = []
+            counter, pos = 0, 0
+            bs = self.short_cycle_batch_sizes[0]
+            while pos < len(order):
+                chunk = order[pos : pos + bs]
+                pos += bs
+                if len(chunk) == bs or not self.drop_last:
+                    batches.append([(i, counter % 3) for i in chunk])
+                counter += 1
+                bs = self.short_cycle_batch_sizes[counter % 3]
+        else:
+            batches = [
+                order[i : i + self.batch_size]
+                for i in range(0, len(order), self.batch_size)
+            ]
+            if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+                batches = batches[:-1]
         # Item-level futures with a 2-batch-deep prefetch window. All
         # submissions happen from this (consumer) thread — worker threads
         # never submit to their own pool, so the pipeline cannot deadlock.
@@ -127,6 +147,11 @@ def construct_loader(cfg, split: str) -> BatchLoader:
         batch_size = cfg.TEST.BATCH_SIZE
         shuffle, drop_last = False, False
     dataset = build_dataset(dataset_name, cfg, split)
+    short_cycle = None
+    if split == "train" and cfg.MULTIGRID.SHORT_CYCLE:
+        from vtm.train.multigrid import short_cycle_batch_sizes
+
+        short_cycle = short_cycle_batch_sizes(batch_size, cfg)
     return BatchLoader(
         dataset,
         batch_size=batch_size,
@@ -134,6 +159,7 @@ def construct_loader(cfg, split: str) -> BatchLoader:
         drop_last=drop_last,
         num_workers=cfg.DATA_LOADER.NUM_WORKERS,
         seed=cfg.RNG_SEED,
+        short_cycle_batch_sizes=short_cycle,
     )
 
 

@@ -47,11 +47,21 @@ class Synthetic:
     def __len__(self):
         return self._num_videos * self._num_clips
 
-    def __getitem__(self, index: int) -> dict:
+    def __getitem__(self, index) -> dict:
+        short_cycle_idx = None
+        if isinstance(index, tuple):  # short-cycle (index, cycle_idx)
+            index, short_cycle_idx = index
         cfg = self.cfg
         vid = index // self._num_clips
         rng = np.random.default_rng(vid)
         size = cfg.DATA.TEST_CROP_SIZE if self.mode == "test" else cfg.DATA.TRAIN_CROP_SIZE
+        if short_cycle_idx in (0, 1):
+            size = int(
+                round(
+                    cfg.MULTIGRID.SHORT_CYCLE_FACTORS[short_cycle_idx]
+                    * cfg.MULTIGRID.DEFAULT_S
+                )
+            )
         frames = rng.standard_normal(
             (cfg.DATA.NUM_FRAMES, size, size, 3)
         ).astype(np.float32)

@@ -99,7 +99,13 @@ def _install_native_stubs():
     iop = mod("iopath"); ioc = mod("iopath.common"); iof = mod("iopath.common.file_io")
     iop.common = ioc; ioc.file_io = iof
 
+    import os as _os
+
     class _PM:
+        open = staticmethod(open)
+        exists = staticmethod(_os.path.exists)
+        ls = staticmethod(_os.listdir)
+
         def __getattr__(self, k):
             return lambda *a, **kw: None
 

@@ -36,6 +36,8 @@ logger = get_logger(__name__)
 
 def perform_test(loader, eval_step, params, meter, cfg, batch_size: int):
     """(reference test_net.py:27-207)"""
+    if cfg.DETECTION.ENABLE:
+        return perform_detection_test(loader, eval_step, params, meter, cfg)
     is_epic = cfg.TEST.DATASET.lower() == "epickitchens" or isinstance(
         cfg.EPICKITCHENS.NUM_CLASSES, (list, tuple)
     )
@@ -77,6 +79,29 @@ def perform_test(loader, eval_step, params, meter, cfg, batch_size: int):
     return meter.finalize_metrics()
 
 
+def perform_detection_test(loader, eval_step, params, meter, cfg):
+    """AVA detection loop: pad the box list to a bucketed static count
+    (few recompiles), trim, feed the meter with per-box scores."""
+    meter.iter_tic()
+    for cur_iter, batch in enumerate(loader):
+        boxes = np.asarray(batch["boxes"], np.float32)
+        n_boxes = len(boxes)
+        padded_n = max(8, int(-(-n_boxes // 8) * 8))
+        if padded_n != n_boxes:
+            pad = np.zeros((padded_n - n_boxes, 5), np.float32)
+            boxes = np.concatenate([boxes, pad])
+        meter.data_toc()
+        logits = eval_step(
+            params, jnp.asarray(batch["frames"]), jnp.asarray(boxes)
+        )
+        preds = np.asarray(logits)[:n_boxes]
+        meter.iter_toc()
+        meter.update_stats(preds, batch["ori_boxes"], batch["metadata"])
+        meter.log_iter_stats(cur_iter)
+        meter.iter_tic()
+    return meter.finalize_metrics()
+
+
 def test(cfg):
     setup_environment()
     setup_logging(cfg.OUTPUT_DIR)
@@ -110,24 +135,41 @@ def test(cfg):
         else:
             specs = None
             params = replicate(mesh, bundle.params)
-        eval_step = make_eval_step(
-            bundle.module,
-            mesh,
-            with_rng=cfg.TOME.ENABLE
-            and cfg.TOME.MODE in ("random_merge", "random_drop"),
-            param_specs=specs,
-            batch_stats=bundle.batch_stats,
-        )
+        if cfg.DETECTION.ENABLE:
+            from vtm.train.train_step import make_detection_eval_step
+
+            eval_step = make_detection_eval_step(
+                bundle.module, batch_stats=bundle.batch_stats
+            )
+        else:
+            eval_step = make_eval_step(
+                bundle.module,
+                mesh,
+                with_rng=cfg.TOME.ENABLE
+                and cfg.TOME.MODE in ("random_merge", "random_drop"),
+                param_specs=specs,
+                batch_stats=bundle.batch_stats,
+            )
 
         loader = construct_loader(cfg, "test")
-        num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        # AVA detection evaluates keyframes, not multi-view clips
+        num_clips = (
+            1
+            if cfg.DETECTION.ENABLE
+            else cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+        )
         assert len(loader.dataset) % num_clips == 0, (
             f"test dataset size {len(loader.dataset)} is not divisible by "
             f"NUM_ENSEMBLE_VIEWS*NUM_SPATIAL_CROPS={num_clips}; check the "
             "test csv / annotations (reference test_net.py:293-297)"
         )
         num_videos = len(loader.dataset) // num_clips
-        if isinstance(cfg.EPICKITCHENS.NUM_CLASSES, (list, tuple)) or (
+        if cfg.DETECTION.ENABLE:
+            from vtm.eval.meters import AVAMeter
+
+            meter = AVAMeter(len(loader), cfg, "test")
+            meter.video_idx_to_name = loader.dataset._video_idx_to_name
+        elif isinstance(cfg.EPICKITCHENS.NUM_CLASSES, (list, tuple)) or (
             cfg.TEST.DATASET.lower() == "epickitchens"
         ):
             ncls = tuple(cfg.EPICKITCHENS.NUM_CLASSES or (97, 300))

@@ -229,6 +229,30 @@ def get_cfg() -> CfgNode:
 
     _C.DETECTION = CfgNode()
     _C.DETECTION.ENABLE = False
+    _C.DETECTION.ALIGNED = True
+    _C.DETECTION.SPATIAL_SCALE_FACTOR = 16
+    _C.DETECTION.ROI_XFORM_RESOLUTION = 7
+
+    # ------------------------------------------------------------------ AVA
+    _C.AVA = CfgNode()
+    _C.AVA.FRAME_DIR = ""
+    _C.AVA.FRAME_LIST_DIR = ""
+    _C.AVA.ANNOTATION_DIR = ""
+    _C.AVA.TRAIN_LISTS = ["train.csv"]
+    _C.AVA.TEST_LISTS = ["val.csv"]
+    _C.AVA.TRAIN_GT_BOX_LISTS = ["ava_train_v2.2.csv"]
+    _C.AVA.TRAIN_PREDICT_BOX_LISTS = []
+    _C.AVA.TEST_PREDICT_BOX_LISTS = ["ava_val_predicted_boxes.csv"]
+    _C.AVA.DETECTION_SCORE_THRESH = 0.9
+    _C.AVA.BGR = False
+    _C.AVA.TRAIN_USE_COLOR_AUGMENTATION = False
+    _C.AVA.TRAIN_PCA_JITTER_ONLY = True
+    _C.AVA.TEST_FORCE_FLIP = False
+    _C.AVA.FULL_TEST_ON_VAL = False
+    _C.AVA.LABEL_MAP_FILE = "ava_action_list_v2.2_for_activitynet_2019.pbtxt"
+    _C.AVA.EXCLUSION_FILE = "ava_val_excluded_timestamps_v2.2.csv"
+    _C.AVA.GROUNDTRUTH_FILE = "ava_val_v2.2.csv"
+    _C.AVA.IMG_PROC_BACKEND = "cv2"
 
     _C.MULTIGRID = CfgNode()
     _C.MULTIGRID.LONG_CYCLE = False

@@ -116,6 +116,8 @@ class BatchLoader:
 
 
 def _collate(items: List[dict]) -> dict:
+    if "boxes" in items[0]:
+        return _detection_collate(items)
     out: dict = {}
     for key in items[0]:
         vals = [it[key] for it in items]
@@ -127,6 +129,23 @@ def _collate(items: List[dict]) -> dict:
             out[key] = np.asarray(vals)
         else:
             out[key] = vals
+    return out
+
+
+def _detection_collate(items: List[dict]) -> dict:
+    """AVA detection collate (reference loader.detection_collate):
+    variable per-item box counts are concatenated; boxes/ori_boxes get a
+    leading batch-index column."""
+    out: dict = {"frames": np.stack([it["frames"] for it in items])}
+    out["index"] = np.asarray([it["index"] for it in items])
+    out["label"] = np.concatenate([it["label"] for it in items])
+    for key in ("boxes", "ori_boxes"):
+        rows = []
+        for bi, it in enumerate(items):
+            col = np.full((len(it[key]), 1), bi, dtype=it[key].dtype)
+            rows.append(np.concatenate([col, it[key]], axis=1))
+        out[key] = np.concatenate(rows)
+    out["metadata"] = np.concatenate([it["metadata"] for it in items])
     return out
 
 

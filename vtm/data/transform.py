@@ -317,3 +317,77 @@ def train_random_erase(cfg, frames: np.ndarray, mode: str) -> np.ndarray:
         probability=cfg.AUG.RE_PROB, mode=cfg.AUG.RE_MODE, max_count=cfg.AUG.RE_COUNT
     )
     return eraser(frames)
+
+
+# --------------------------------------------------------------- boxes
+# Box-aware variants used by the AVA detection path (reference
+# transform.py:47-276 — boxes ride along with the geometric transforms).
+
+
+def clip_boxes_to_image(boxes: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Reference transform.py:257-276."""
+    clipped = boxes.copy()
+    clipped[:, [0, 2]] = np.minimum(width - 1.0, np.maximum(0.0, boxes[:, [0, 2]]))
+    clipped[:, [1, 3]] = np.minimum(height - 1.0, np.maximum(0.0, boxes[:, [1, 3]]))
+    return clipped
+
+
+def crop_boxes(boxes: np.ndarray, x_offset: int, y_offset: int) -> np.ndarray:
+    out = boxes.copy()
+    out[:, [0, 2]] = boxes[:, [0, 2]] - x_offset
+    out[:, [1, 3]] = boxes[:, [1, 3]] - y_offset
+    return out
+
+
+def flip_boxes(boxes: np.ndarray, width: int) -> np.ndarray:
+    out = boxes.copy()
+    out[:, [0, 2]] = width - boxes[:, [2, 0]] - 1
+    return out
+
+
+def short_side_scale_with_boxes(frames, size: int, boxes):
+    """min==max jitter with box scaling (reference transform.py:47-103)."""
+    t, h, w, c = frames.shape
+    if (w <= h and w == size) or (h <= w and h == size):
+        return frames, boxes
+    if w < h:
+        new_w = size
+        new_h = int(math.floor(float(h) / w * size))
+        boxes = boxes * float(new_h) / h
+    else:
+        new_h = size
+        new_w = int(math.floor(float(w) / h * size))
+        boxes = boxes * float(new_w) / w
+    return _resize(frames, new_h, new_w), boxes
+
+
+def random_short_side_scale_jitter_with_boxes(frames, min_size, max_size, boxes):
+    size = int(round(random.uniform(min_size, max_size)))
+    return short_side_scale_with_boxes(frames, size, boxes)
+
+
+def random_crop_with_boxes(frames, size: int, boxes):
+    t, h, w, c = frames.shape
+    if h == size and w == size:
+        return frames, boxes
+    y = 0 if h == size else int(random.randint(0, h - size))
+    x = 0 if w == size else int(random.randint(0, w - size))
+    return frames[:, y : y + size, x : x + size, :], crop_boxes(boxes, x, y)
+
+
+def uniform_crop_with_boxes(frames, size: int, spatial_idx: int, boxes):
+    t, h, w, c = frames.shape
+    y_offset = int(math.ceil((h - size) / 2))
+    x_offset = int(math.ceil((w - size) / 2))
+    if h > w:
+        y_offset = 0 if spatial_idx == 0 else (h - size if spatial_idx == 2 else y_offset)
+    else:
+        x_offset = 0 if spatial_idx == 0 else (w - size if spatial_idx == 2 else x_offset)
+    cropped = frames[:, y_offset : y_offset + size, x_offset : x_offset + size, :]
+    return cropped, crop_boxes(boxes, x_offset, y_offset)
+
+
+def horizontal_flip_with_boxes(prob: float, frames, boxes):
+    if random.uniform(0, 1) < prob:
+        return frames[:, :, ::-1, :], flip_boxes(boxes, frames.shape[2])
+    return frames, boxes

@@ -502,3 +502,91 @@ class EpochTimer:
 
     def median_epoch_time(self):
         return float(np.median(self.epoch_durations))
+
+
+class AVAMeter:
+    """AVA detection meter (reference meters.py AVAMeter): accumulates
+    per-box class scores + original boxes + (video, sec) metadata over
+    the epoch and finalizes to frame-mAP via vtm.eval.ava_eval."""
+
+    def __init__(self, overall_iters: int, cfg, mode: str = "test"):
+        import os
+
+        from vtm.eval import ava_eval
+
+        self.cfg = cfg
+        self.mode = mode
+        self.overall_iters = overall_iters
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.all_preds = []
+        self.all_ori_boxes = []
+        self.all_metadata = []
+        ann = cfg.AVA.ANNOTATION_DIR
+        self.excluded_keys = ava_eval.read_exclusions(
+            os.path.join(ann, cfg.AVA.EXCLUSION_FILE)
+        )
+        self.categories, self.class_whitelist = ava_eval.read_labelmap(
+            os.path.join(ann, cfg.AVA.LABEL_MAP_FILE)
+        )
+        gt_filename = os.path.join(ann, cfg.AVA.GROUNDTRUTH_FILE)
+        self.full_groundtruth = ava_eval.read_csv(
+            gt_filename, self.class_whitelist
+        )
+        self.video_idx_to_name = None  # set by the driver
+        self.full_map = None
+
+    def update_stats(self, preds, ori_boxes, metadata):
+        self.all_preds.append(np.asarray(preds))
+        self.all_ori_boxes.append(np.asarray(ori_boxes))
+        self.all_metadata.append(np.asarray(metadata))
+
+    def finalize_metrics(self, log: bool = True) -> dict:
+        from vtm.eval import ava_eval
+
+        preds = np.concatenate(self.all_preds)
+        ori_boxes = np.concatenate(self.all_ori_boxes)
+        metadata = np.concatenate(self.all_metadata)
+        self.full_map = ava_eval.evaluate_ava(
+            preds,
+            ori_boxes,
+            metadata.tolist(),
+            self.excluded_keys,
+            self.class_whitelist,
+            self.categories,
+            groundtruth=self.full_groundtruth,
+            video_idx_to_name=self.video_idx_to_name,
+            output_dir=self.cfg.OUTPUT_DIR,
+        )
+        stats = {"split": f"{self.mode}_final", "map": self.full_map}
+        if log:
+            log_json_stats(stats, logger)
+        return stats
+
+    def log_iter_stats(self, cur_iter: int):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        eta_sec = self.iter_timer.seconds() * (self.overall_iters - cur_iter)
+        log_json_stats(
+            {
+                "split": f"{self.mode}_iter",
+                "cur_iter": f"{cur_iter + 1}",
+                "eta": str(datetime.timedelta(seconds=int(eta_sec))),
+                "time_diff": self.iter_timer.seconds(),
+                "mode": self.mode,
+            },
+            logger,
+        )
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+        self.data_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+
+    def data_toc(self):
+        self.data_timer.pause()
+
+    def reset(self):
+        self.all_preds, self.all_ori_boxes, self.all_metadata = [], [], []

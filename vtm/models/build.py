@@ -90,9 +90,12 @@ class ModelBundle:
         self.policy = policy
         self.module = self.module.clone(policy=policy)
 
-    def init_params(self, rng: jax.Array, sample: jax.Array):
+    def init_params(self, rng: jax.Array, sample: jax.Array, bboxes=None):
         # the merge rng is only consumed by random merge/drop modes
-        variables = self.module.init(rng, sample, rng=rng)
+        if bboxes is not None:  # detection models: init the ROI head too
+            variables = self.module.init(rng, sample, rng=rng, bboxes=bboxes)
+        else:
+            variables = self.module.init(rng, sample, rng=rng)
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats")
         return self.params
@@ -167,5 +170,10 @@ def build_model(cfg, rng: Optional[jax.Array] = None, init: bool = True) -> Mode
         rng = rng if rng is not None else jax.random.key(cfg.RNG_SEED)
         t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.TEST_CROP_SIZE
         sample = jnp.zeros((1, t, s, s, 3), dtype=jnp.float32)
-        bundle.init_params(rng, sample)
+        bboxes = (
+            jnp.asarray([[0.0, 0.0, 0.0, float(s) - 1, float(s) - 1]])
+            if cfg.DETECTION.ENABLE
+            else None
+        )
+        bundle.init_params(rng, sample, bboxes=bboxes)
     return bundle

@@ -107,6 +107,11 @@ class ConvNetSpec:
     norm: NormSpec = NormSpec()
     dropconnect_rate: float = 0.0
     global_head_pool: bool = False  # MULTIGRID.SHORT_CYCLE => adaptive pool
+    # AVA detection (DETECTION.*): ROI head instead of the basic head
+    detection: bool = False
+    roi_resolution: int = 7
+    roi_scale_factor: int = 16
+    roi_aligned: bool = True
 
 
 def spec_from_cfg(cfg) -> ConvNetSpec:
@@ -143,6 +148,10 @@ def spec_from_cfg(cfg) -> ConvNetSpec:
         ),
         dropconnect_rate=cfg.MODEL.DROPCONNECT_RATE,
         global_head_pool=cfg.MULTIGRID.SHORT_CYCLE,
+        detection=cfg.DETECTION.ENABLE,
+        roi_resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
+        roi_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
+        roi_aligned=cfg.DETECTION.ALIGNED,
     )
 
 
@@ -161,7 +170,8 @@ class SlowFastModel(nn.Module):
     spec: ConvNetSpec
 
     @nn.compact
-    def __call__(self, x, state=None, rng=None, train: bool = False):
+    def __call__(self, x, state=None, rng=None, train: bool = False,
+                 bboxes=None):
         s = self.spec
         pool_size = _POOL1[s.arch]
         d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[s.depth]
@@ -273,6 +283,21 @@ class SlowFastModel(nn.Module):
             **stage_args,
         )(xs, train=train)
 
+        if s.detection and bboxes is not None:
+            from vtm.models.roi_head import ResNetRoIHead
+
+            logits = ResNetRoIHead(
+                num_classes=s.num_classes,
+                resolution=(s.roi_resolution,) * 2,
+                scale_factor=(s.roi_scale_factor,) * 2,
+                dropout_rate=s.dropout_rate,
+                act_func=s.head_act,
+                aligned=s.roi_aligned,
+                detach_final_fc=s.detach_final_fc,
+                fc_init_std=s.fc_init_std,
+                name="head",
+            )(xs, bboxes, train=train)
+            return logits, state
         if s.global_head_pool:
             head_pool = None
         else:
@@ -307,7 +332,8 @@ class ResNetModel(nn.Module):
     spec: ConvNetSpec
 
     @nn.compact
-    def __call__(self, x, state=None, rng=None, train: bool = False):
+    def __call__(self, x, state=None, rng=None, train: bool = False,
+                 bboxes=None):
         s = self.spec
         pool_size = _POOL1[s.arch]
         d2, d3, d4, d5 = _MODEL_STAGE_DEPTH[s.depth]
@@ -361,6 +387,21 @@ class ResNetModel(nn.Module):
                     for p, xp in enumerate(xs)
                 ]
 
+        if s.detection and bboxes is not None:
+            from vtm.models.roi_head import ResNetRoIHead
+
+            logits = ResNetRoIHead(
+                num_classes=s.num_classes,
+                resolution=(s.roi_resolution,),
+                scale_factor=(s.roi_scale_factor,),
+                dropout_rate=s.dropout_rate,
+                act_func=s.head_act,
+                aligned=s.roi_aligned,
+                detach_final_fc=s.detach_final_fc,
+                fc_init_std=s.fc_init_std,
+                name="head",
+            )(xs, bboxes, train=train)
+            return logits, state
         if s.global_head_pool:
             head_pool = None
         else:
@@ -551,8 +592,6 @@ from vtm.models.build import ModelBundle, register_model  # noqa: E402
 def _build_slowfast_bundle(cfg) -> ModelBundle:
     from vtm.merge.policy import MergePolicy
 
-    if cfg.DETECTION.ENABLE:
-        raise NotImplementedError("AVA detection head is not carried (SURVEY §8)")
     spec = spec_from_cfg(cfg)
     module = SlowFastModel(spec=spec)
     return ModelBundle(
@@ -565,8 +604,6 @@ def _build_slowfast_bundle(cfg) -> ModelBundle:
 def _build_resnet_bundle(cfg) -> ModelBundle:
     from vtm.merge.policy import MergePolicy
 
-    if cfg.DETECTION.ENABLE:
-        raise NotImplementedError("AVA detection head is not carried (SURVEY §8)")
     spec = spec_from_cfg(cfg)
     module = ResNetModel(spec=spec)
     return ModelBundle(

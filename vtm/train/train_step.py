@@ -166,3 +166,23 @@ def make_bn_eval_step(module, mesh=None):
     rep = replicated_sharding(mesh)
     dat = batch_sharding(mesh)
     return jax.jit(step, in_shardings=(rep, rep, dat))
+
+
+def make_detection_eval_step(module, batch_stats=None, mesh=None):
+    """Jitted detection forward: (params[, batch_stats], frames, boxes)
+    -> per-box class scores. Boxes are a padded [N, 5] array
+    (batch_idx, x1, y1, x2, y2); the driver trims padded rows."""
+
+    def step(params, bn, frames, boxes):
+        variables = {"params": params}
+        if bn is not None:
+            variables["batch_stats"] = bn
+        logits, _ = module.apply(variables, frames, bboxes=boxes)
+        return logits
+
+    jitted = jax.jit(step)
+
+    def run(params, frames, boxes):
+        return jitted(params, batch_stats, frames, boxes)
+
+    return run

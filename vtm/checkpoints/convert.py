@@ -510,3 +510,69 @@ def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
         params[f"blocks_{i}"] = blk
     params["head"] = _dense(sd, "head.projection")
     return params
+
+
+def caffe2_name_to_pytorch(name: str) -> str:
+    """Caffe2 blob name -> PySlowFast module path (reference
+    slowfast/utils/c2_model_loading.py:9-123 — the same regex table,
+    applied in order)."""
+    pairs = [
+        [r"^nonlocal_conv([0-9]+)_([0-9]+)_(.*)", r"s\1.pathway0_nonlocal\2_\3"],
+        [r"^(.*)_nonlocal([0-9]+)_(theta)(.*)", r"\1_nonlocal\2.conv_\3\4"],
+        [r"^(.*)_nonlocal([0-9]+)_(g)(.*)", r"\1_nonlocal\2.conv_\3\4"],
+        [r"^(.*)_nonlocal([0-9]+)_(phi)(.*)", r"\1_nonlocal\2.conv_\3\4"],
+        [r"^(.*)_nonlocal([0-9]+)_(out)(.*)", r"\1_nonlocal\2.conv_\3\4"],
+        [r"^(.*)_nonlocal([0-9]+)_(bn)_(.*)", r"\1_nonlocal\2.\3.\4"],
+        [r"^t_pool1_subsample_bn_(.*)", r"s1_fuse.bn.\1"],
+        [r"^t_pool1_subsample_(.*)", r"s1_fuse.conv_f2s.\1"],
+        [r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_bn_(.*)", r"s\1_fuse.bn.\3"],
+        [r"^t_res([0-9]+)_([0-9]+)_branch2c_bn_subsample_(.*)", r"s\1_fuse.conv_f2s.\3"],
+        [
+            r"^res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+            r"s\1.pathway0_res\2.branch\3.\4_\5",
+        ],
+        [r"^res_conv1_bn_(.*)", r"s1.pathway0_stem.bn.\1"],
+        [r"^conv1_xy(.*)", r"s1.pathway0_stem.conv_xy\1"],
+        [r"^conv1_(.*)", r"s1.pathway0_stem.conv.\1"],
+        [
+            r"^res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+            r"s\1.pathway0_res\2.branch\3_\4",
+        ],
+        [r"^res_conv1_(.*)", r"s1.pathway0_stem.conv.\1"],
+        [
+            r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)([a-z])_(.*)",
+            r"s\1.pathway1_res\2.branch\3.\4_\5",
+        ],
+        [r"^t_res_conv1_bn_(.*)", r"s1.pathway1_stem.bn.\1"],
+        [r"^t_conv1_(.*)", r"s1.pathway1_stem.conv.\1"],
+        [
+            r"^t_res([0-9]+)_([0-9]+)_branch([0-9]+)_(.*)",
+            r"s\1.pathway1_res\2.branch\3_\4",
+        ],
+        [r"^t_res_conv1_(.*)", r"s1.pathway1_stem.conv.\1"],
+        [r"pred_(.*)", r"head.projection.\1"],
+        [r"(.*)b_bn_fc(.*)", r"\1se.fc\2"],
+        [r"conv_5(.*)", r"head.conv_5\1"],
+        [r"lin_5(.*)", r"head.lin_5\1"],
+        [r"(.*)bn.b\Z", r"\1bn.bias"],
+        [r"(.*)bn.s\Z", r"\1bn.weight"],
+        [r"(.*)bn.rm\Z", r"\1bn.running_mean"],
+        [r"(.*)bn.riv\Z", r"\1bn.running_var"],
+        [r"(.*)[\._]b\Z", r"\1.bias"],
+        [r"(.*)[\._]w\Z", r"\1.weight"],
+    ]
+    for source, dest in pairs:
+        name = re.sub(source, dest, name)
+    return name
+
+
+def convert_caffe2(blobs: Mapping[str, np.ndarray], num_splits: int = 1) -> tuple:
+    """Caffe2 blob dict -> (params, batch_stats) flax trees for the conv
+    families: regex-rename then the structural convert_pyslowfast
+    (reference checkpoint.py caffe2 branch, :191-302)."""
+    sd = {}
+    for key, value in blobs.items():
+        if "momentum" in key or key in ("model_iter", "lr"):
+            continue
+        sd[caffe2_name_to_pytorch(key)] = np.asarray(value)
+    return convert_pyslowfast(sd, num_splits=num_splits)

@@ -63,6 +63,36 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     o_ref[0] = (o / denom).astype(o_ref.dtype)
 
 
+def _kernel_chunked(q_ref, k_ref, v_ref, bias_ref, o_ref, *, n_pad, blk_k):
+    """Online-softmax variant: the key row is processed in blk_k chunks
+    so Mosaic's scheduler can overlap chunk j's exp (VPU) with chunk
+    j+1's qk matmul (MXU). ~15% faster than the whole-row kernel at
+    N=1568 (67 vs 58 TF/s measured); identical math up to fp
+    reassociation."""
+    q = q_ref[0]  # [blk_q, d] (pre-scaled)
+    d = q_ref.shape[-1]
+    m = jnp.full((q.shape[0], 1), -1e30, jnp.float32)
+    l = jnp.zeros((q.shape[0], 1), jnp.float32)
+    acc = jnp.zeros((q.shape[0], d), jnp.float32)
+    for j in range(n_pad // blk_k):
+        kj = k_ref[0, j * blk_k : (j + 1) * blk_k, :]
+        vj = v_ref[0, j * blk_k : (j + 1) * blk_k, :]
+        s = jax.lax.dot_general(
+            q, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + bias_ref[0, 0, j * blk_k : (j + 1) * blk_k][None, :]
+        mj = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - mj)
+        corr = jnp.exp(m - mj)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jax.lax.dot_general(
+            p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m = mj
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
 # VMEM budget for the [blk_q, n_pad] fp32 logits tile. Bigger q-blocks
 # amortize per-program overhead (measured at N=1568: blk_q 128 -> 1.68
 # ms/layer, whole-row 1664 -> 1.29 ms); cap so the tile leaves room for
@@ -100,9 +130,20 @@ def _forward(q, k, v, key_bias, sm_scale, blk_q):
     if n_pad != n:
         bias = bias.at[:, :, n:].set(-1e30)
 
+    # long rows: chunk the keys for MXU/VPU overlap (see _kernel_chunked).
+    # 832 x 2 measured best at n_pad=1664; generalize to halves >= 640.
+    if n_pad >= 1536 and blk_q >= 512:
+        blk_k = n_pad // 2
+        while blk_k % 8:
+            blk_k //= 2
+        kernel = functools.partial(_kernel_chunked, n_pad=n_pad, blk_k=blk_k)
+        blk_q = _pick_blk_q(n_pad, min(blk_q, 832))
+    else:
+        kernel = _kernel
+
     grid = (b * h, n_pad // blk_q)
     out = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),

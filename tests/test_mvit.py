@@ -105,3 +105,46 @@ def test_mvit_pool_first_no_cls_parity(ref_builder):
     cfg.MVIT.USE_ABS_POS = True
     cfg.MVIT.USE_MEAN_POOLING = True
     _run_mvit_parity(ref_builder, cfg)
+
+
+def test_mvit_test_net_e2e(tmp_path):
+    """MViT through the full test driver on the synthetic dataset."""
+    from tools.test_net import test
+    from vtm.config import assert_and_infer_cfg
+
+    cfg = _mvit_cfg()
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.DATASET = "synthetic"
+    cfg.TEST.BATCH_SIZE = 4
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.NUM_GPUS = 1
+    cfg.LOG_MODEL_INFO = False
+    cfg.OUTPUT_DIR = str(tmp_path)
+    assert_and_infer_cfg(cfg)
+    results = test(cfg)
+    stats = results[0][1]
+    assert "top1_acc" in stats
+
+
+def test_mvit_train_e2e(tmp_path):
+    """One MViT training epoch (droppath + dropout rngs, mean-pool head)."""
+    from tools.train_net import train
+    from vtm.config import assert_and_infer_cfg
+
+    cfg = _mvit_cfg()
+    cfg.merge_from_list([
+        "TRAIN.DATASET", "synthetic",
+        "TRAIN.BATCH_SIZE", "8",
+        "SOLVER.MAX_EPOCH", "1",
+        "SOLVER.OPTIMIZING_METHOD", "adamw",
+        "TRAIN.EVAL_PERIOD", "1",
+        "TRAIN.CHECKPOINT_PERIOD", "10",
+        "MVIT.DROPPATH_RATE", "0.1",
+        "MODEL.DROPOUT_RATE", "0.5",
+        "DATA_LOADER.NUM_WORKERS", "0",
+        "OUTPUT_DIR", str(tmp_path),
+    ])
+    assert_and_infer_cfg(cfg)
+    params = train(cfg)
+    assert params is not None

@@ -337,11 +337,16 @@ def merge_wavg(
     src_x, dst_x = x[:, ::2, :], x[:, 1::2, :]
     src_s, dst_s = size[:, ::2, :], size[:, 1::2, :]
 
-    unm_x = _gather(src_x, m.unm_idx)
-    unm_s = _gather(src_s, m.unm_idx)
+    # one permutation gather for [kept ∥ merged] src rows (fewer HBM
+    # passes than separate unm/sel gathers)
+    perm = jnp.concatenate([m.unm_idx, m.src_idx], axis=1)
+    gx = _gather(src_x, perm)
+    gs = _gather(src_s, perm)
+    n_unm = m.unm_idx.shape[1]
+    unm_x, sel_x = gx[:, :n_unm], gx[:, n_unm:]
+    unm_s, sel_s = gs[:, :n_unm], gs[:, n_unm:]
 
-    sel_s = _gather(src_s, m.src_idx)  # [B, r, 1]
-    sel_mass = _gather(src_x, m.src_idx) * sel_s.astype(x.dtype)
+    sel_mass = sel_x * sel_s.astype(x.dtype)
 
     oh_f = _one_hot(m.dst_idx, dst_x.shape[1], jnp.float32)  # [B, r, tb]
     if threshold is not None:

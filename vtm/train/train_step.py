@@ -32,16 +32,27 @@ def make_train_step(module, tx, loss_name: str, multi_head: bool, mesh=None,
     batch (sync-BN semantics)."""
     base_loss = loss_lib.get_loss_func(loss_name)
 
+    # conv/MViT modules take a `train` flag (BN/dropout/droppath and the
+    # eval-only head activation); the ToMe transformer modules do not
+    import inspect
+
+    accepts_train = "train" in inspect.signature(module.__call__).parameters
+
     def _loss(p, bn, frames, labels, rngs):
         variables = {"params": p}
+        drop_rng = {"dropout": rngs if rngs is not None else jax.random.key(0)}
         if bn is not None:
             variables["batch_stats"] = bn
             (logits, _), mutated = module.apply(
                 variables, frames, rng=rngs, train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": rngs if rngs is not None else jax.random.key(0)},
+                mutable=["batch_stats"], rngs=drop_rng,
             )
             new_bn = mutated["batch_stats"]
+        elif accepts_train:
+            logits, _ = module.apply(
+                variables, frames, rng=rngs, train=True, rngs=drop_rng
+            )
+            new_bn = None
         else:
             logits, _ = module.apply(variables, frames, rng=rngs)
             new_bn = None

@@ -148,3 +148,39 @@ def test_mvit_train_e2e(tmp_path):
     assert_and_infer_cfg(cfg)
     params = train(cfg)
     assert params is not None
+
+
+def test_mvit_act_checkpoint_grad_parity():
+    """MODEL.ACT_CHECKPOINT (jax.checkpoint remat) must not change
+    values or gradients — only the memory/recompute trade."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from vtm.models.build import build_model
+
+    cfg = _mvit_cfg()
+    bundle = build_model(cfg)
+    cfg2 = _mvit_cfg()
+    cfg2.MODEL.ACT_CHECKPOINT = True
+    remat_bundle = build_model(cfg2, init=False)
+    remat_bundle.params = bundle.params
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 4, 32, 32, 3)),
+        jnp.float32,
+    )
+
+    def loss(b):
+        def f(p):
+            logits, _ = b.module.apply({"params": p}, x)
+            return (logits ** 2).sum()
+        return f
+
+    v1, g1 = jax.value_and_grad(loss(bundle))(bundle.params)
+    v2, g2 = jax.value_and_grad(loss(remat_bundle))(remat_bundle.params)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(g1)
+    l2 = jax.tree_util.tree_leaves(g2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -323,3 +323,27 @@ def test_roi_align_basic():
     boxes = jnp.asarray([[1.0, 0.0, 0.0, 8.0, 8.0]])
     out = roi_align(const, boxes, resolution=3, spatial_scale=1.0)
     np.testing.assert_allclose(np.asarray(out), 5.0, rtol=1e-6)
+
+
+def test_ava_train_e2e(tmp_path):
+    """One AVA detection training epoch (bce on per-box labels through
+    the ROI head) + a detection val eval."""
+    from tools.train_net import train
+    from vtm.config import assert_and_infer_cfg
+
+    cfg = _ava_cfg(tmp_path)
+    cfg.merge_from_list([
+        "MODEL.LOSS_FUNC", "bce_logit",
+        "TRAIN.ENABLE", "True",
+        "TRAIN.BATCH_SIZE", "2",
+        "SOLVER.MAX_EPOCH", "1",
+        "SOLVER.OPTIMIZING_METHOD", "sgd",
+        "TRAIN.EVAL_PERIOD", "1",
+        "TRAIN.CHECKPOINT_PERIOD", "10",
+        "DATA_LOADER.NUM_WORKERS", "0",
+        "NUM_GPUS", "1",
+        "OUTPUT_DIR", str(tmp_path),
+    ])
+    assert_and_infer_cfg(cfg)
+    params = train(cfg)
+    assert params is not None

@@ -88,6 +88,34 @@ def train_epoch(
             frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
             labels = _labels_of(batch, multi_head)
         meter.data_toc()
+        if cfg.DETECTION.ENABLE:
+            boxes = np.asarray(batch["boxes"], np.float32)
+            n_boxes = len(boxes)
+            padded_n = max(8, int(-(-n_boxes // 8) * 8))
+            det_labels = np.asarray(batch["label"], np.float32)
+            weights = np.ones(padded_n, np.float32)
+            if padded_n != n_boxes:
+                boxes = np.concatenate(
+                    [boxes, np.zeros((padded_n - n_boxes, 5), np.float32)]
+                )
+                det_labels = np.concatenate(
+                    [det_labels,
+                     np.zeros((padded_n - n_boxes, det_labels.shape[1]), np.float32)]
+                )
+                weights[n_boxes:] = 0.0
+            params, bn_stats, opt_state, loss, _ = train_step(
+                params, bn_stats, opt_state, frames, jnp.asarray(boxes),
+                jnp.asarray(det_labels), jnp.asarray(weights),
+                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
+            )
+            loss = float(loss)
+            if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
+                raise RuntimeError(f"NaN/inf loss at epoch {cur_epoch} iter {cur_iter}")
+            meter.iter_toc()
+            meter.update_stats(None, None, None, loss, lr)
+            meter.log_iter_stats(cur_iter)
+            meter.iter_tic()
+            continue
         if bn_stats is not None:
             params, bn_stats, opt_state, loss, logits, aux = train_step(
                 params, bn_stats, opt_state, frames, labels,
@@ -208,10 +236,17 @@ def train(cfg):
     bn_stats = bundle.batch_stats
     if bn_stats is not None:
         bn_stats = replicate(mesh, bn_stats)
-    train_step = make_train_step(
-        bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=mesh,
-        param_specs=specs, has_batch_stats=bn_stats is not None,
-    )
+    if cfg.DETECTION.ENABLE:
+        from vtm.train.train_step import make_detection_train_step
+
+        train_step = make_detection_train_step(
+            bundle.module, tx, cfg.MODEL.LOSS_FUNC,
+        )
+    else:
+        train_step = make_train_step(
+            bundle.module, tx, cfg.MODEL.LOSS_FUNC, multi_head, mesh=mesh,
+            param_specs=specs, has_batch_stats=bn_stats is not None,
+        )
     if bn_stats is not None:
         from vtm.train.train_step import make_bn_eval_step
 
@@ -221,7 +256,13 @@ def train(cfg):
 
     train_loader = construct_loader(cfg, "train")
     val_loader = construct_loader(cfg, "val")
-    if multi_head:
+    if cfg.DETECTION.ENABLE:
+        from vtm.eval.meters import AVAMeter
+
+        train_meter = AVAMeter(len(train_loader), cfg, "train")
+        val_meter = AVAMeter(len(val_loader), cfg, "val")
+        val_meter.video_idx_to_name = val_loader.dataset._video_idx_to_name
+    elif multi_head:
         train_meter = EPICTrainMeter(len(train_loader), cfg)
         val_meter = EPICValMeter(len(val_loader), cfg)
     else:
@@ -306,8 +347,20 @@ def train(cfg):
             cu.save_checkpoint(cfg.OUTPUT_DIR, params, opt_state, cur_epoch, cfg,
                                batch_stats=bn_stats)
         if is_eval:
-            eval_epoch(val_loader, eval_step, params, val_meter, cur_epoch, cfg,
-                       multi_head, bn_stats=bn_stats)
+            if cfg.DETECTION.ENABLE:
+                from tools.test_net import perform_detection_test
+                from vtm.train.train_step import make_detection_eval_step
+
+                det_eval = make_detection_eval_step(
+                    bundle.module, batch_stats=bn_stats
+                )
+                perform_detection_test(
+                    val_loader, det_eval, params, val_meter, cfg
+                )
+                val_meter.reset()
+            else:
+                eval_epoch(val_loader, eval_step, params, val_meter, cur_epoch,
+                           cfg, multi_head, bn_stats=bn_stats)
     if tb_writer is not None:
         tb_writer.close()
     wandb_utils.finish()

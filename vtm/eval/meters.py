@@ -536,10 +536,24 @@ class AVAMeter:
         self.video_idx_to_name = None  # set by the driver
         self.full_map = None
 
-    def update_stats(self, preds, ori_boxes, metadata):
+    def update_stats(self, preds, ori_boxes, metadata, loss=None, lr=None):
+        if self.mode == "train":
+            # train mode tracks loss only (reference AVAMeter train path)
+            self.loss = float(loss)
+            self.lr = lr
+            return
         self.all_preds.append(np.asarray(preds))
         self.all_ori_boxes.append(np.asarray(ori_boxes))
         self.all_metadata.append(np.asarray(metadata))
+
+    def log_epoch_stats(self, cur_epoch: int):
+        if self.mode == "train":
+            log_json_stats(
+                {"split": "train_epoch", "epoch": cur_epoch,
+                 "loss": getattr(self, "loss", None),
+                 "lr": getattr(self, "lr", None)},
+                logger,
+            )
 
     def finalize_metrics(self, log: bool = True) -> dict:
         from vtm.eval import ava_eval

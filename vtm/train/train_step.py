@@ -15,6 +15,7 @@ import jax
 import optax
 
 from vtm.parallel.mesh import batch_sharding, replicated_sharding
+import jax.numpy as jnp
 from vtm.train import losses as loss_lib
 
 
@@ -197,3 +198,54 @@ def make_detection_eval_step(module, batch_stats=None, mesh=None):
         return jitted(params, batch_stats, frames, boxes)
 
     return run
+
+
+def make_detection_train_step(module, tx, loss_name: str,
+                              has_batch_stats: bool = True):
+    """AVA detection training step (reference train_net.py:141 —
+    ``preds = model(inputs, meta["boxes"])`` + bce on per-box labels).
+
+    Boxes/labels are padded to a bucketed static count; ``weights``
+    zeroes the padded rows out of the loss. Single-device jit (AVA
+    boxes reference batch indices, which do not shard cleanly)."""
+    base_loss = loss_lib.get_loss_func(loss_name)
+
+    def step(params, bn, opt_state, frames, boxes, labels, weights, rngs):
+        def loss_fn(p):
+            variables = {"params": p}
+            drop_rng = {"dropout": rngs}
+            if bn is not None:
+                variables["batch_stats"] = bn
+                (logits, _), mutated = module.apply(
+                    variables, frames, train=True, bboxes=boxes,
+                    mutable=["batch_stats"], rngs=drop_rng,
+                )
+                new_bn = mutated["batch_stats"]
+            else:
+                logits, _ = module.apply(
+                    variables, frames, train=True, bboxes=boxes, rngs=drop_rng
+                )
+                new_bn = None
+            # per-box loss, padded rows weighted out
+            import optax as _optax
+
+            if loss_name == "bce_logit":
+                per = _optax.sigmoid_binary_cross_entropy(
+                    logits, labels
+                ).mean(axis=-1)
+            else:
+                per_fn = lambda lg, lb: base_loss(lg[None], lb[None])
+                per = jax.vmap(per_fn)(logits, labels)
+            loss = (per * weights).sum() / jnp.maximum(weights.sum(), 1.0)
+            return loss, (logits, new_bn)
+
+        import jax.numpy as jnp  # noqa: F811
+
+        (loss, (logits, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bn, new_opt_state, loss, logits
+
+    return jax.jit(step)

@@ -131,13 +131,21 @@ def _forward(q, k, v, key_bias, sm_scale, blk_q):
         bias = bias.at[:, :, n:].set(-1e30)
 
     # long rows: chunk the keys for MXU/VPU overlap (see _kernel_chunked).
-    # 832 x 2 measured best at n_pad=1664; generalize to halves >= 640.
+    # Measured sweet spot: square-ish blocks near 700 (N=1568: 832x2
+    # chunks 58->67 TF/s; N=3137: 640x5 chunks 64->71 TF/s).
     if n_pad >= 1536 and blk_q >= 512:
-        blk_k = n_pad // 2
-        while blk_k % 8:
-            blk_k //= 2
+        candidates = [
+            n_pad // c
+            for c in range(2, 9)
+            if n_pad % c == 0 and (n_pad // c) % 8 == 0 and n_pad // c >= 384
+        ]
+        blk_k = (
+            min(candidates, key=lambda bk: abs(bk - 704))
+            if candidates
+            else n_pad // 2
+        )
         kernel = functools.partial(_kernel_chunked, n_pad=n_pad, blk_k=blk_k)
-        blk_q = _pick_blk_q(n_pad, min(blk_q, 832))
+        blk_q = _pick_blk_q(n_pad, blk_k)
     else:
         kernel = _kernel
 

@@ -344,3 +344,26 @@ def test_slowfast_train_e2e_with_precise_bn(tmp_path):
     assert not np.allclose(np.asarray(stem["mean"]), 0.0), (
         "precise-BN stats were never updated"
     )
+
+
+def test_gradcam_on_slowfast():
+    """Grad-CAM localization maps for a conv family (stage s5 GAP-CAM)."""
+    import jax.numpy as jnp
+
+    from vtm.models.build import build_model
+    from vtm.vis.gradcam import GradCAM
+
+    cfg = tiny_cfg("SlowFast", "slowfast")
+    bundle = build_model(cfg)
+    cam = GradCAM(bundle)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 8, 32, 32, 3)),
+        jnp.float32,
+    )
+    maps, preds = cam.localization_map(x)
+    assert maps.ndim == 4 and maps.shape[0] == 2  # [B, T', H', W']
+    assert maps.min() >= 0.0 and maps.max() <= 1.0
+    assert preds.shape == (2, 7)
+    frames = np.random.default_rng(1).random((8, 32, 32, 3)).astype(np.float32)
+    video = cam.overlay(frames, maps[0])
+    assert video.shape == (8, 32, 32, 3) and video.dtype == np.uint8

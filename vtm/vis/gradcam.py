@@ -20,9 +20,10 @@ import numpy as np
 from flax import linen as nn
 
 
-def _apply_with_perturbation(module, params, x, layer_path: str, eps):
+def _apply_with_perturbation(module, variables, x, layer_path: str, eps):
     """Forward pass with ``eps`` added to the output of the submodule
-    whose flax path joins to ``layer_path`` (e.g. 'blocks_5'). Returns
+    whose flax path joins to ``layer_path`` (e.g. 'blocks_5' or a conv
+    stage 's5' whose output is a pathway list). Returns
     (logits, state, activation)."""
     captured = {}
 
@@ -30,6 +31,9 @@ def _apply_with_perturbation(module, params, x, layer_path: str, eps):
         out = next_fun(*args, **kwargs)
         path = "/".join(context.module.path)
         if path == layer_path and context.method_name == "__call__":
+            if isinstance(out, list):  # conv stage: perturb the slow path
+                captured["act"] = out[0]
+                return [out[0] + eps] + out[1:]
             if isinstance(out, tuple):
                 captured["act"] = out[0]
                 return (out[0] + eps, *out[1:])
@@ -38,7 +42,7 @@ def _apply_with_perturbation(module, params, x, layer_path: str, eps):
         return out
 
     with nn.intercept_methods(interceptor):
-        logits, state = module.apply({"params": params}, x)
+        logits, state = module.apply(variables, x)
     return logits, state, captured.get("act")
 
 
@@ -56,10 +60,14 @@ class GradCAM:
 
         self.bundle = bundle
         depth = getattr(bundle.config, "depth", None) or getattr(
-            bundle.config, "num_hidden_layers"
+            bundle.config, "num_hidden_layers", 12
         )
-        prefix = "layer" if bundle.name == "ViViT" else "blocks"
-        self.target_layer = target_layer or f"{prefix}_{depth - 1}"
+        self.is_conv = bundle.name in ("SlowFast", "ResNet", "X3D")
+        if self.is_conv:
+            self.target_layer = target_layer or "s5"
+        else:
+            prefix = "layer" if bundle.name == "ViViT" else "blocks"
+            self.target_layer = target_layer or f"{prefix}_{depth - 1}"
         self.colormap = plt.get_cmap(colormap)
         self.class_token = bundle.name in ("ViViT", "TimeSformer", "Motionformer")
 
@@ -67,10 +75,11 @@ class GradCAM:
         self, x: jnp.ndarray, labels: Optional[np.ndarray] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (maps [B, n_tokens_orig] in [0,1], preds [B, C])."""
-        module, params = self.bundle.module, self.bundle.params
+        module = self.bundle.module
+        variables = self.bundle.variables
 
         logits0, state0, act0 = _apply_with_perturbation(
-            module, params, x, self.target_layer, 0.0
+            module, variables, x, self.target_layer, 0.0
         )
         if act0 is None:
             raise KeyError(
@@ -83,7 +92,7 @@ class GradCAM:
 
         def score_fn(eps):
             logits, _, _ = _apply_with_perturbation(
-                module, params, x, self.target_layer, eps
+                module, variables, x, self.target_layer, eps
             )
             if isinstance(logits, tuple):
                 logits = logits[0]
@@ -94,6 +103,17 @@ class GradCAM:
         grads = jax.grad(score_fn)(jnp.zeros_like(act0))  # [B', N', D]
         act = np.asarray(act0, np.float32)
         grads = np.asarray(grads, np.float32)
+
+        if self.is_conv:
+            # [B, T', H', W', C]: GAP weights over the spatio-temporal
+            # grid (reference gradcam_utils.py for SlowFast)
+            weights = grads.mean(axis=(1, 2, 3), keepdims=True)
+            cam = np.maximum((weights * act).sum(axis=-1), 0.0)  # [B,T,H,W]
+            flat = cam.reshape(cam.shape[0], -1)
+            lo = flat.min(axis=1)[:, None, None, None]
+            hi = flat.max(axis=1)[:, None, None, None]
+            cam = (cam - lo) / np.maximum(hi - lo, 1e-8)
+            return cam, preds
 
         weights = grads.mean(axis=1, keepdims=True)  # [B', 1, D]
         cam = np.maximum((weights * act).sum(axis=-1), 0.0)  # [B', N']
@@ -125,6 +145,22 @@ class GradCAM:
         model's patch geometry."""
         t, h, w, _ = frames.shape
         c = self.bundle.config
+        if self.is_conv:
+            # cam_tokens is already a [T', H', W'] grid
+            grid = np.asarray(cam_tokens)
+            up = np.repeat(
+                np.repeat(
+                    np.repeat(grid, max(1, t // grid.shape[0]), axis=0)[:t],
+                    max(1, h // grid.shape[1]), axis=1,
+                )[:, :h],
+                max(1, w // grid.shape[2]), axis=2,
+            )[:, :, :w]
+            # pad if the repeat under-shot (non-divisible grids)
+            pt, ph, pw = t - up.shape[0], h - up.shape[1], w - up.shape[2]
+            up = np.pad(up, [(0, pt), (0, ph), (0, pw)], mode="edge")
+            heat = self.colormap(up)[..., :3]
+            out = (1 - alpha) * frames + alpha * heat
+            return np.uint8(np.clip(out, 0, 1) * 255)
         if self.bundle.name == "VideoMAE":
             gt, gs = t // c.tubelet_size, h // c.patch_size
         elif self.bundle.name == "ViViT":

@@ -367,3 +367,36 @@ def test_gradcam_on_slowfast():
     frames = np.random.default_rng(1).random((8, 32, 32, 3)).astype(np.float32)
     video = cam.overlay(frames, maps[0])
     assert video.shape == (8, 32, 32, 3) and video.dtype == np.uint8
+
+
+def test_subbn_aggregation_matches_reference(ref_builder):
+    """aggregate_subbn_stats vs SubBatchNorm3d.aggregate_stats
+    (batchnorm_helper.py:73-100)."""
+    import torch
+
+    bh = load_reference_module(
+        "slowfast/models/batchnorm_helper.py", "ref_bn_helper"
+    )
+    from vtm.models.convnet import aggregate_subbn_stats
+
+    torch.manual_seed(0)
+    k, c = 4, 6
+    sub = bh.SubBatchNorm3d(num_splits=k, num_features=c)
+    # randomize split running stats
+    sub.split_bn.running_mean.data = torch.randn(k * c)
+    sub.split_bn.running_var.data = torch.rand(k * c) + 0.5
+    sub.aggregate_stats()
+    want_mean = sub.bn.running_mean.numpy()
+    want_var = sub.bn.running_var.numpy()
+
+    stats = {
+        "layer": {
+            "mean": np.zeros(c, np.float32),
+            "var": np.ones(c, np.float32),
+            "split_mean": sub.split_bn.running_mean.numpy().reshape(k, c),
+            "split_var": sub.split_bn.running_var.numpy().reshape(k, c),
+        }
+    }
+    out = aggregate_subbn_stats(stats)
+    np.testing.assert_allclose(out["layer"]["mean"], want_mean, rtol=1e-5)
+    np.testing.assert_allclose(out["layer"]["var"], want_var, rtol=1e-5)

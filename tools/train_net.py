@@ -334,6 +334,15 @@ def train(cfg):
         )
         is_ckpt = (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
         is_eval = (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
+        if bn_stats is not None and cfg.BN.NORM_TYPE == "sub_batchnorm" and (
+            is_ckpt or is_eval
+        ):
+            # fold per-split running stats into the eval stats
+            # (reference aggregate_sub_bn_stats before eval/save,
+            # train_net.py:871-874 + batchnorm_helper.py:73-100)
+            from vtm.models.convnet import aggregate_subbn_stats
+
+            bn_stats = aggregate_subbn_stats(bn_stats)
         if bn_stats is not None and cfg.BN.USE_PRECISE_STATS and (is_ckpt or is_eval):
             # reference: calculate_and_update_precise_bn before saving or
             # evaluating (train_net.py:879-891)

@@ -84,6 +84,11 @@ def train_epoch(
             )
             frames = shard_batch(mesh, jnp.asarray(mixed))
             labels = jnp.asarray(targets)
+        elif cfg.DETECTION.ENABLE:
+            # detection steps are single-device jit (boxes carry batch
+            # indices) — no mesh batch sharding
+            frames = jnp.asarray(batch["frames"])
+            labels = None
         else:
             frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
             labels = _labels_of(batch, multi_head)

@@ -79,7 +79,39 @@ def peak_matmul_tflops(rtt: float) -> float:
     return 2 * 4096**3 * iters / secs / 1e12
 
 
+def _probe_device(timeout_s: int = 120) -> None:
+    """Fail fast (exit 3) if the TPU lease is wedged — a killed process
+    with dispatched-but-unfetched remote work can hang every subsequent
+    fetch for hours (see CLAUDE.md), and a hung benchmark is worse than
+    a clean failure."""
+    import subprocess
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from vtm.utils.env import setup_environment\n"
+        "setup_environment()\n"
+        "import jax, jax.numpy as jnp\n"
+        "print(float(jnp.ones((8, 8)).sum()))\n" % str(REPO)
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            capture_output=True, text=True,
+        )
+        if proc.returncode == 0:
+            return
+        sys.stderr.write(proc.stderr[-2000:])
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(
+            f"bench.py: device probe timed out after {timeout_s}s — the "
+            "TPU lease appears wedged (stale dispatched work from a "
+            "killed process); retry once it clears.\n"
+        )
+    sys.exit(3)
+
+
 def main():
+    _probe_device()
     iters = int(os.environ.get("VTM_BENCH_ITERS", "20"))
     batch = int(os.environ.get("VTM_BENCH_BATCH", "8"))
     r = int(os.environ.get("VTM_BENCH_R", "150"))

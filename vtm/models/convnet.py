@@ -29,7 +29,6 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Optional, Sequence, Tuple
 
 import jax

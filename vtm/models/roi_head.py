@@ -15,7 +15,7 @@ is a vectorised bilinear gather (4 corner gathers), not a scalar loop.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -46,6 +46,7 @@ def load_reference_module(relpath: str, name: str):
         "torchvision.transforms",
         "torchvision.transforms.functional",
         "torchvision.io",
+        "torchvision.utils",
         "av",
     ):
         if stub not in sys.modules:

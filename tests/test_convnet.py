@@ -47,6 +47,16 @@ def _install_native_stubs():
     fvw.c2_msra_fill = c2_msra_fill
     fvw.c2_xavier_fill = c2_xavier_fill
 
+    # submodules pulled by slowfast/utils/misc.py (flop/activation
+    # counting is never exercised in the oracle paths)
+    fva = mod("fvcore.nn.activation_count"); fvn.activation_count = fva
+    fva.activation_count = lambda *a, **k: ({}, {})
+    fvf = mod("fvcore.nn.flop_count"); fvn.flop_count = fvf
+    fvf.flop_count = lambda *a, **k: ({}, {})
+    fvp = mod("fvcore.nn.precise_bn"); fvn.precise_bn = fvp
+    fvp.update_bn_stats = lambda *a, **k: None
+    fvp.get_bn_modules = lambda *a, **k: []
+
     class Registry:
         def __init__(self, name):
             self._name, self._map = name, {}

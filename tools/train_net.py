@@ -71,7 +71,7 @@ def _labels_of(batch, multi_head):
 
 def train_epoch(
     loader, train_step, params, opt_state, lr_at, cur_epoch, meter, cfg, mesh,
-    multi_head, mixup_fn=None, tb_writer=None, bn_stats=None
+    multi_head, mixup_fn=None, tb_writer=None, bn_stats=None, bundle_spec=None
 ):
     data_size = len(loader)
     meter.iter_tic()
@@ -84,15 +84,38 @@ def train_epoch(
             )
             frames = shard_batch(mesh, jnp.asarray(mixed))
             labels = jnp.asarray(targets)
-        elif cfg.DETECTION.ENABLE:
-            # detection steps are single-device jit (boxes carry batch
-            # indices) — no mesh batch sharding
+        elif cfg.DETECTION.ENABLE or cfg.MASK.ENABLE:
+            # detection/maskfeat steps are single-device jit — no mesh
+            # batch sharding
             frames = jnp.asarray(batch["frames"])
             labels = None
         else:
             frames = shard_batch(mesh, jnp.asarray(batch["frames"]))
             labels = _labels_of(batch, multi_head)
         meter.data_toc()
+        if cfg.MASK.ENABLE:
+            from vtm.models.masked import maskfeat_hog_labels
+
+            hog_labels = [
+                jnp.asarray(l)
+                for l in maskfeat_hog_labels(
+                    bundle_spec, cfg.MASK.PRETRAIN_DEPTH,
+                    np.asarray(batch["frames"]),
+                )
+            ]
+            params, opt_state, loss, _ = train_step(
+                params, opt_state, frames, jnp.asarray(batch["mask"]),
+                hog_labels,
+                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
+            )
+            loss = float(loss)
+            if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
+                raise RuntimeError(f"NaN/inf loss at epoch {cur_epoch} iter {cur_iter}")
+            meter.iter_toc()
+            meter.update_stats(0.0, 0.0, loss, lr, batch["frames"].shape[0])
+            meter.log_iter_stats(cur_epoch, cur_iter)
+            meter.iter_tic()
+            continue
         if cfg.DETECTION.ENABLE:
             boxes = np.asarray(batch["boxes"], np.float32)
             n_boxes = len(boxes)
@@ -241,7 +264,11 @@ def train(cfg):
     bn_stats = bundle.batch_stats
     if bn_stats is not None:
         bn_stats = replicate(mesh, bn_stats)
-    if cfg.DETECTION.ENABLE:
+    if cfg.MASK.ENABLE:
+        from vtm.train.train_step import make_maskfeat_train_step
+
+        train_step = make_maskfeat_train_step(bundle.module, tx)
+    elif cfg.DETECTION.ENABLE:
         from vtm.train.train_step import make_detection_train_step
 
         train_step = make_detection_train_step(
@@ -336,6 +363,7 @@ def train(cfg):
             mixup_fn=mixup_fn,
             tb_writer=tb_writer,
             bn_stats=bn_stats,
+            bundle_spec=getattr(bundle.module, "spec", None),
         )
         is_ckpt = (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
         is_eval = (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
@@ -360,7 +388,9 @@ def train(cfg):
         if is_ckpt:
             cu.save_checkpoint(cfg.OUTPUT_DIR, params, opt_state, cur_epoch, cfg,
                                batch_stats=bn_stats)
-        if is_eval:
+        if is_eval and cfg.MASK.ENABLE:
+            pass  # maskfeat pretraining has no classification eval
+        elif is_eval:
             if cfg.DETECTION.ENABLE:
                 from tools.test_net import perform_detection_test
                 from vtm.train.train_step import make_detection_eval_step

@@ -465,9 +465,11 @@ def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
     """MViT state dict -> vtm MViTModel params
     (builder: video_model_builder.py:809-1267 + attention.py)."""
     sd = dict(strip_prefixes({k: _np(v) for k, v in sd.items()}))
-    params: dict = {"norm": _layernorm(sd, "norm")}
+    params: dict = {}
+    if "norm.weight" in sd:  # MaskMViT deletes the final norm/head
+        params["norm"] = _layernorm(sd, "norm")
     for key in ("cls_token", "pos_embed", "pos_embed_spatial",
-                "pos_embed_temporal", "pos_embed_class"):
+                "pos_embed_temporal", "pos_embed_class", "mask_token"):
         if key in sd:
             params[key] = sd[key]
     params["patch_embed"] = _conv3d(sd, "patch_embed.proj")
@@ -508,7 +510,8 @@ def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
             if f"{pre}.{g}" in sd:
                 blk[g] = sd[f"{pre}.{g}"]
         params[f"blocks_{i}"] = blk
-    params["head"] = _dense(sd, "head.projection")
+    if "head.projection.weight" in sd:
+        params["head"] = _dense(sd, "head.projection")
     return params
 
 

@@ -227,6 +227,26 @@ def get_cfg() -> CfgNode:
     _C.BN.NUM_SYNC_DEVICES = 1
     _C.BN.GLOBAL_SYNC = False
 
+    _C.MASK = CfgNode()
+    _C.MASK.ENABLE = False
+    _C.MASK.MAE_ON = False
+    _C.MASK.MAE_RND_MASK = False
+    _C.MASK.PER_FRAME_MASKING = False
+    _C.MASK.TIME_STRIDE_LOSS = True
+    _C.MASK.NORM_PRED_PIXEL = True
+    _C.MASK.SCALE_INIT_BY_DEPTH = False
+    _C.MASK.DECODER_EMBED_DIM = 512
+    _C.MASK.DECODER_SEP_POS_EMBED = False
+    _C.MASK.DEC_KV_KERNEL = []
+    _C.MASK.DEC_KV_STRIDE = []
+    _C.MASK.PRETRAIN_DEPTH = [15]
+    _C.MASK.HEAD_TYPE = "separate"
+    _C.MASK.DECODER_DEPTH = 0
+    _C.MASK.PRED_HOG = False
+
+    _C.VIS_MASK = CfgNode()
+    _C.VIS_MASK.ENABLE = False
+
     _C.DETECTION = CfgNode()
     _C.DETECTION.ENABLE = False
     _C.DETECTION.ALIGNED = True
@@ -431,6 +451,8 @@ def get_cfg() -> CfgNode:
     _C.AUG.MASK_FRAMES = False
     _C.AUG.MASK_WINDOW_SIZE = [8, 7, 7]
     _C.AUG.MASK_RATIO = 0.0
+    _C.AUG.MAX_MASK_PATCHES_PER_BLOCK = None
+    _C.AUG.GEN_MASK_LOADER = False
     _C.AUG.MAX_MASK_PATCHES_PER_BLOCK = None
 
     # ------------------------------------------------------------------ MIXUP

@@ -73,7 +73,12 @@ class Kinetics:
             index, short_cycle_idx = index
         if cfg.DATA.DUMMY_LOAD and self._dummy_cache is not None:
             frames, label = self._dummy_cache
-            return {"frames": frames, "label": label, "index": index}
+            item = {"frames": frames, "label": label, "index": index}
+            if cfg.AUG.GEN_MASK_LOADER:
+                from vtm.data.masking import gen_mask
+
+                item["mask"] = gen_mask(cfg)
+            return item
 
         if self.mode in ("train", "val"):
             temporal_sample_index = -1
@@ -143,4 +148,9 @@ class Kinetics:
         label = self._labels[index]
         if cfg.DATA.DUMMY_LOAD and self._dummy_cache is None:
             self._dummy_cache = (frames, label)
-        return {"frames": frames, "label": label, "index": index}
+        item = {"frames": frames, "label": label, "index": index}
+        if cfg.AUG.GEN_MASK_LOADER:
+            from vtm.data.masking import gen_mask
+
+            item["mask"] = gen_mask(cfg)
+        return item

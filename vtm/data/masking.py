@@ -159,3 +159,35 @@ def generate_mask(cfg) -> Optional[np.ndarray]:
     return MaskingGenerator3D(
         win, num, min_num_patches=max_mask // 5, max_num_patches=max_mask
     )()
+
+
+def gen_mask(cfg) -> np.ndarray:
+    """Per-clip pretraining mask (reference kinetics.py:516-553):
+    MASK_TUBE -> 2-D blockwise mask tiled over 8 frames; MASK_FRAMES ->
+    whole-frame masking; else 3-D blockwise masking."""
+    import random as _random
+
+    window = cfg.AUG.MASK_WINDOW_SIZE
+    if cfg.AUG.MASK_TUBE:
+        num = round(np.prod(window) * cfg.AUG.MASK_RATIO)
+        mask = MaskingGenerator(
+            mask_window_size=window[1:],
+            num_masking_patches=num,
+            max_num_patches=None,
+            min_num_patches=num // 5,
+        )()
+        return np.tile(mask, (8, 1, 1))
+    if cfg.AUG.MASK_FRAMES:
+        mask = np.zeros(window, dtype=int)
+        n_mask = round(window[0] * cfg.AUG.MASK_RATIO)
+        idx = _random.sample(range(0, window[0]), n_mask)
+        mask[idx, :, :] += 1
+        return mask
+    num = round(np.prod(window) * cfg.AUG.MASK_RATIO)
+    max_mask = int(np.prod(window[1:]))
+    return MaskingGenerator3D(
+        mask_window_size=window,
+        num_masking_patches=num,
+        max_num_patches=max_mask,
+        min_num_patches=max_mask // 5,
+    )()

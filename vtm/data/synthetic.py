@@ -76,4 +76,9 @@ class Synthetic:
                 "index": index,
                 "metadata": {"narration_id": f"synthetic_{vid}"},
             }
-        return {"frames": frames, "label": vid % self.num_classes, "index": index}
+        item = {"frames": frames, "label": vid % self.num_classes, "index": index}
+        if cfg.AUG.GEN_MASK_LOADER:
+            from vtm.data.masking import gen_mask
+
+            item["mask"] = gen_mask(cfg)
+        return item

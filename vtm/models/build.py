@@ -90,9 +90,12 @@ class ModelBundle:
         self.policy = policy
         self.module = self.module.clone(policy=policy)
 
-    def init_params(self, rng: jax.Array, sample: jax.Array, bboxes=None):
+    def init_params(self, rng: jax.Array, sample: jax.Array, bboxes=None,
+                    mask=None):
         # the merge rng is only consumed by random merge/drop modes
-        if bboxes is not None:  # detection models: init the ROI head too
+        if mask is not None:  # masked pretraining models
+            variables = self.module.init(rng, sample, mask, rng=rng)
+        elif bboxes is not None:  # detection models: init the ROI head too
             variables = self.module.init(rng, sample, rng=rng, bboxes=bboxes)
         else:
             variables = self.module.init(rng, sample, rng=rng)
@@ -175,5 +178,10 @@ def build_model(cfg, rng: Optional[jax.Array] = None, init: bool = True) -> Mode
             if cfg.DETECTION.ENABLE
             else None
         )
-        bundle.init_params(rng, sample, bboxes=bboxes)
+        mask = (
+            jnp.zeros((1,) + tuple(cfg.AUG.MASK_WINDOW_SIZE), jnp.float32)
+            if cfg.MASK.ENABLE
+            else None
+        )
+        bundle.init_params(rng, sample, bboxes=bboxes, mask=mask)
     return bundle

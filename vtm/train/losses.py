@@ -25,11 +25,35 @@ def mse(pred, target):
     return jnp.mean((pred - target) ** 2)
 
 
+def multiple_mse(preds, labels_and_weights, masks=None):
+    """Weighted sum of per-depth mse losses (reference losses.py
+    MultipleMSELoss:28-62). ``masks``: optional per-depth [B, N] bool —
+    the TPU-native replacement for the reference's x[mask] row
+    selection: the mse averages over masked positions only."""
+    loss_sum = 0.0
+    multi = []
+    for i, (pred, lw) in enumerate(zip(preds, labels_and_weights)):
+        if isinstance(lw, (tuple, list)):
+            label, weight = lw[0], lw[1]
+        else:
+            label, weight = lw, 1.0
+        if masks is not None:
+            m = masks[i].astype(jnp.float32)[..., None]
+            per = ((pred - label) ** 2) * m
+            loss = per.sum() / jnp.maximum(m.sum() * pred.shape[-1], 1.0)
+        else:
+            loss = jnp.mean((pred - label) ** 2)
+        loss_sum = loss_sum + loss * weight
+        multi.append(loss)
+    return loss_sum, multi
+
+
 _LOSSES = {
     "cross_entropy": cross_entropy,
     "soft_cross_entropy": soft_target_cross_entropy,
     "bce_logit": bce_logit,
     "mse": mse,
+    "multi_mse": multiple_mse,
 }
 
 

@@ -249,3 +249,33 @@ def make_detection_train_step(module, tx, loss_name: str,
         return new_params, new_bn, new_opt_state, loss, logits
 
     return jax.jit(step)
+
+
+def make_maskfeat_train_step(module, tx):
+    """MaskFeat pretraining step (reference train_net.py:142-143 —
+    ``preds, labels = model(inputs)`` + MultipleMSELoss).
+
+    HOG labels are computed HOST-side in numpy (no gradients flow
+    through them); the step takes (frames, mask, per-depth labels) and
+    applies the masked weighted mse (vtm/train/losses.py multiple_mse)
+    over ALL positions with mask weights — the static-shape equivalent
+    of the reference's x[mask] row selection."""
+    from vtm.train.losses import multiple_mse
+
+    def step(params, opt_state, frames, mask, labels, rngs):
+        def loss_fn(p):
+            preds, out_masks = module.apply(
+                {"params": p}, frames, mask, train=True,
+                rngs={"dropout": rngs},
+            )
+            loss, multi = multiple_mse(
+                preds, [(l, 1.0) for l in labels], out_masks
+            )
+            return loss, multi
+
+        (loss, multi), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss, multi
+
+    return jax.jit(step)

@@ -30,6 +30,10 @@ from vtm.models import build_model  # noqa: E402
 def main():
     args = parse_args()
     cfg = load_config(args, (args.cfg_files or [None])[0])
+    if not args.cfg_files:
+        # bare-default fallback: align crops so fixed pos tables match
+        # the synthetic clip (224 train / 256 test defaults differ)
+        cfg.DATA.TEST_CROP_SIZE = cfg.DATA.TRAIN_CROP_SIZE
     assert_and_infer_cfg(cfg)
 
     try:
@@ -40,7 +44,7 @@ def main():
         base = build_dataset("synthetic", cfg, "test")
 
     bundle = build_model(cfg)
-    if cfg.TEST.CHECKPOINT_FILE_PATH:
+    if cfg.TEST.CHECKPOINT_FILE_PATH and "<" not in cfg.TEST.CHECKPOINT_FILE_PATH:
         bundle = load_test_checkpoint(cfg, bundle)
 
     tubelet = getattr(bundle.config, "tubelet_size", 2)

@@ -28,13 +28,17 @@ from examples.vivit_example import load_clip  # noqa: E402
 def main():
     args = parse_args()
     cfg = load_config(args, (args.cfg_files or [None])[0])
+    if not args.cfg_files:
+        # bare-default fallback: align crops so fixed pos tables match
+        # the synthetic clip (224 train / 256 test defaults differ)
+        cfg.DATA.TEST_CROP_SIZE = cfg.DATA.TRAIN_CROP_SIZE
     assert_and_infer_cfg(cfg)
     cfg.TOME.ENABLE = True
     if cfg.TOME.LAYER_QUANTITY <= 1:
         cfg.TOME.LAYER_QUANTITY = 12  # notebook default: one layer x12
 
     bundle = build_model(cfg)
-    if cfg.TEST.CHECKPOINT_FILE_PATH:
+    if cfg.TEST.CHECKPOINT_FILE_PATH and "<" not in cfg.TEST.CHECKPOINT_FILE_PATH:
         bundle = load_test_checkpoint(cfg, bundle)
     print(
         f"duplicating layer {cfg.TOME.LAYER_TO_DUPLICATE} "

@@ -32,7 +32,9 @@ from examples.vivit_example import load_clip  # noqa: E402
 
 def main():
     args = parse_args()
-    cfg = load_config(args, (args.cfg_files or [None])[0])
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    default_cfg = str(repo / 'configs/timesformer/kinetics/tome_TimeSformer_divST_8x32_224.yaml')
+    cfg = load_config(args, (args.cfg_files or [default_cfg])[0])
     assert_and_infer_cfg(cfg)
     cfg.TOME.ENABLE = True
     cfg.TOME.TRACE_SOURCE = True
@@ -40,7 +42,7 @@ def main():
         cfg.TOME.R_VALUE = 18
 
     bundle = build_model(cfg)
-    if cfg.TEST.CHECKPOINT_FILE_PATH:
+    if cfg.TEST.CHECKPOINT_FILE_PATH and "<" not in cfg.TEST.CHECKPOINT_FILE_PATH:
         bundle = load_test_checkpoint(cfg, bundle)
 
     clip = load_clip(cfg)

@@ -31,14 +31,16 @@ from examples.vivit_example import load_clip  # noqa: E402
 
 def main():
     args = parse_args()
-    cfg = load_config(args, (args.cfg_files or [None])[0])
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    default_cfg = str(repo / 'configs/videomae/kinetics/tome_VideoMAE_B_16_224_K400.yaml')
+    cfg = load_config(args, (args.cfg_files or [default_cfg])[0])
     cfg.MODEL.MODEL_NAME = "VideoMAE"
     assert_and_infer_cfg(cfg)
     cfg.TOME.ENABLE = True
     cfg.TOME.TRACE_SOURCE = True
 
     bundle = build_model(cfg)
-    if cfg.TEST.CHECKPOINT_FILE_PATH:
+    if cfg.TEST.CHECKPOINT_FILE_PATH and "<" not in cfg.TEST.CHECKPOINT_FILE_PATH:
         bundle = load_test_checkpoint(cfg, bundle)
 
     clip = load_clip(cfg)

@@ -54,13 +54,15 @@ def load_clip(cfg) -> np.ndarray:
 
 def main():
     args = parse_args()
-    cfg = load_config(args, (args.cfg_files or [None])[0])
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    default_cfg = str(repo / 'configs/vivit/kinetics/tome_vivit_8x32_224.yaml')
+    cfg = load_config(args, (args.cfg_files or [default_cfg])[0])
     assert_and_infer_cfg(cfg)
     cfg.TOME.ENABLE = True
     cfg.TOME.TRACE_SOURCE = True
 
     bundle = build_model(cfg)
-    if cfg.TEST.CHECKPOINT_FILE_PATH:
+    if cfg.TEST.CHECKPOINT_FILE_PATH and "<" not in cfg.TEST.CHECKPOINT_FILE_PATH:
         bundle = load_test_checkpoint(cfg, bundle)
 
     clip = load_clip(cfg)

@@ -79,12 +79,14 @@ def peak_matmul_tflops(rtt: float) -> float:
     return 2 * 4096**3 * iters / secs / 1e12
 
 
-def _probe_device(timeout_s: int = 120) -> None:
+def _probe_device(timeout_s: int = 120, attempts: int = 3) -> None:
     """Fail fast (exit 3) if the TPU lease is wedged — a killed process
     with dispatched-but-unfetched remote work can hang every subsequent
     fetch for hours (see CLAUDE.md), and a hung benchmark is worse than
-    a clean failure."""
+    a clean failure. The lease also FLAPS while recovering, so probe a
+    few times before giving up."""
     import subprocess
+    import time as _time
 
     code = (
         "import sys; sys.path.insert(0, %r)\n"
@@ -93,25 +95,52 @@ def _probe_device(timeout_s: int = 120) -> None:
         "import jax, jax.numpy as jnp\n"
         "print(float(jnp.ones((8, 8)).sum()))\n" % str(REPO)
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, text=True,
-        )
-        if proc.returncode == 0:
-            return
-        sys.stderr.write(proc.stderr[-2000:])
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(
-            f"bench.py: device probe timed out after {timeout_s}s — the "
-            "TPU lease appears wedged (stale dispatched work from a "
-            "killed process); retry once it clears.\n"
-        )
+    for attempt in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, text=True,
+            )
+            if proc.returncode == 0:
+                return
+            sys.stderr.write(proc.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(
+                f"bench.py: device probe {attempt + 1}/{attempts} timed "
+                f"out after {timeout_s}s\n"
+            )
+        if attempt + 1 < attempts:
+            _time.sleep(60)
+    sys.stderr.write(
+        "bench.py: the TPU lease appears wedged (stale dispatched work "
+        "from a killed process); retry once it clears.\n"
+    )
     sys.exit(3)
+
+
+def _arm_global_watchdog(limit_s: int = 2400) -> None:
+    """Hard exit if the whole benchmark exceeds ``limit_s`` — a lease
+    that flaps mid-run would otherwise hang the driver indefinitely."""
+    import threading
+
+    def fire():
+        sys.stderr.write(
+            f"bench.py: exceeded the {limit_s}s watchdog (TPU lease "
+            "hung mid-run); exiting.\n"
+        )
+        sys.stderr.flush()
+        os._exit(4)
+
+    timer = threading.Timer(limit_s, fire)
+    timer.daemon = True
+    timer.start()
 
 
 def main():
     _probe_device()
+    _arm_global_watchdog(
+        int(os.environ.get("VTM_BENCH_WATCHDOG_SECS", "2400"))
+    )
     iters = int(os.environ.get("VTM_BENCH_ITERS", "20"))
     batch = int(os.environ.get("VTM_BENCH_BATCH", "8"))
     r = int(os.environ.get("VTM_BENCH_R", "150"))

@@ -410,3 +410,21 @@ def test_subbn_aggregation_matches_reference(ref_builder):
     out = aggregate_subbn_stats(stats)
     np.testing.assert_allclose(out["layer"]["mean"], want_mean, rtol=1e-5)
     np.testing.assert_allclose(out["layer"]["var"], want_var, rtol=1e-5)
+
+
+def test_model_benchmark_with_bn_model(tmp_path):
+    """tools/model_benchmark.py runs for a BN conv family (the
+    batch_stats-threaded timing path)."""
+    from tools.model_benchmark import model_benchmark
+    from vtm.config import assert_and_infer_cfg
+
+    cfg = tiny_cfg("SlowFast", "slowfast")
+    cfg.merge_from_list([
+        "MODEL_BENCHMARK.ITERATIONS", "2",
+        "NUM_GPUS", "1",
+        "LOG_MODEL_INFO", "False",
+        "OUTPUT_DIR", str(tmp_path),
+    ])
+    assert_and_infer_cfg(cfg)
+    stats = model_benchmark(cfg)
+    assert stats["fps"] > 0

@@ -347,3 +347,34 @@ def test_ava_train_e2e(tmp_path):
     assert_and_infer_cfg(cfg)
     params = train(cfg)
     assert params is not None
+
+
+def test_ava_detection_mvit_e2e(tmp_path):
+    """MViT + ROI head detection eval (video_model_builder.py:1057-1066:
+    norm -> strip cls -> refold [T,H,W] grid -> ResNetRoIHead)."""
+    from tools.test_net import test
+    from vtm.config import assert_and_infer_cfg
+
+    cfg = _ava_cfg(tmp_path)
+    cfg.merge_from_list([
+        "MODEL.MODEL_NAME", "MViT",
+        "MODEL.ARCH", "mvit",
+        "DATA.INPUT_CHANNEL_NUM", "[3]",
+        "MVIT.EMBED_DIM", "16",
+        "MVIT.NUM_HEADS", "2",
+        "MVIT.DEPTH", "2",
+        "MVIT.PATCH_KERNEL", "[3, 7, 7]",
+        "MVIT.PATCH_STRIDE", "[2, 4, 4]",
+        "MVIT.PATCH_PADDING", "[1, 3, 3]",
+        "MVIT.POOL_Q_STRIDE", "[[1, 1, 2, 2]]",
+        "MVIT.POOL_KVQ_KERNEL", "[3, 3, 3]",
+        "DETECTION.SPATIAL_SCALE_FACTOR", "8",
+        "OUTPUT_DIR", str(tmp_path),
+        "TRAIN.ENABLE", "False",
+        "NUM_GPUS", "1",
+        "LOG_MODEL_INFO", "False",
+    ])
+    assert_and_infer_cfg(cfg)
+    results = test(cfg)
+    stats = results[0][1]
+    assert "map" in stats and 0.0 <= stats["map"] <= 1.0

@@ -94,20 +94,40 @@ def train_epoch(
             labels = _labels_of(batch, multi_head)
         meter.data_toc()
         if cfg.MASK.ENABLE:
-            from vtm.models.masked import maskfeat_hog_labels
-
-            hog_labels = [
-                jnp.asarray(l)
-                for l in maskfeat_hog_labels(
-                    bundle_spec, cfg.MASK.PRETRAIN_DEPTH,
-                    np.asarray(batch["frames"]),
-                )
-            ]
-            params, opt_state, loss, _ = train_step(
-                params, opt_state, frames, jnp.asarray(batch["mask"]),
-                hog_labels,
-                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
+            step_rng = jax.random.key(
+                cfg.RNG_SEED + cur_epoch * data_size + cur_iter
             )
+            if cfg.MASK.MAE_ON:
+                # the MAE step computes pixel labels in-graph
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, frames,
+                    jnp.asarray(batch["mask"]), step_rng,
+                )
+            else:
+                from vtm.models.masked import (
+                    maskfeat_hog_labels, maskfeat_pixel_labels,
+                )
+
+                label_fn = (
+                    maskfeat_hog_labels
+                    if cfg.MASK.PRED_HOG
+                    else lambda spec, depths, fr: maskfeat_pixel_labels(
+                        spec, depths, fr,
+                        time_stride_loss=cfg.MASK.TIME_STRIDE_LOSS,
+                        norm=cfg.MASK.NORM_PRED_PIXEL,
+                    )
+                )
+                mask_labels = [
+                    jnp.asarray(l)
+                    for l in label_fn(
+                        bundle_spec, cfg.MASK.PRETRAIN_DEPTH,
+                        np.asarray(batch["frames"]),
+                    )
+                ]
+                params, opt_state, loss, _ = train_step(
+                    params, opt_state, frames, jnp.asarray(batch["mask"]),
+                    mask_labels, step_rng,
+                )
             loss = float(loss)
             if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
                 raise RuntimeError(f"NaN/inf loss at epoch {cur_epoch} iter {cur_iter}")
@@ -265,9 +285,14 @@ def train(cfg):
     if bn_stats is not None:
         bn_stats = replicate(mesh, bn_stats)
     if cfg.MASK.ENABLE:
-        from vtm.train.train_step import make_maskfeat_train_step
+        if cfg.MASK.MAE_ON:
+            from vtm.train.train_step import make_mae_train_step
 
-        train_step = make_maskfeat_train_step(bundle.module, tx)
+            train_step = make_mae_train_step(bundle.module, tx)
+        else:
+            from vtm.train.train_step import make_maskfeat_train_step
+
+            train_step = make_maskfeat_train_step(bundle.module, tx)
     elif cfg.DETECTION.ENABLE:
         from vtm.train.train_step import make_detection_train_step
 

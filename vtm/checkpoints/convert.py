@@ -469,32 +469,21 @@ def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
     if "norm.weight" in sd:  # MaskMViT deletes the final norm/head
         params["norm"] = _layernorm(sd, "norm")
     for key in ("cls_token", "pos_embed", "pos_embed_spatial",
-                "pos_embed_temporal", "pos_embed_class", "mask_token"):
+                "pos_embed_temporal", "pos_embed_class", "mask_token",
+                "decoder_pos_embed", "dec_pos_embed_spatial",
+                "dec_pos_embed_temporal", "dec_pos_embed_class"):
         if key in sd:
             params[key] = sd[key]
+    if "decoder_embed.weight" in sd:  # MAE branch (masked.py:87)
+        params["decoder_embed"] = _dense(sd, "decoder_embed")
     params["patch_embed"] = _conv3d(sd, "patch_embed.proj")
     if "norm_stem.weight" in sd:
         params["norm_stem"] = _layernorm(sd, "norm_stem")
     for i in range(depth):
         pre = f"blocks.{i}"
-        attn: dict = {"proj": _dense(sd, f"{pre}.attn.proj")}
-        if f"{pre}.attn.qkv.weight" in sd:
-            attn["qkv"] = _dense(sd, f"{pre}.attn.qkv")
-        for nm in ("q", "k", "v"):
-            if f"{pre}.attn.{nm}.weight" in sd:
-                attn[nm] = _dense(sd, f"{pre}.attn.{nm}")
-        for nm in ("q", "k", "v"):
-            mod = {}
-            if f"{pre}.attn.pool_{nm}.weight" in sd:
-                w = sd[f"{pre}.attn.pool_{nm}.weight"]  # [C,1,kt,kh,kw]
-                mod["pool"] = {"kernel": w.transpose(2, 3, 4, 1, 0)}
-            if f"{pre}.attn.norm_{nm}.weight" in sd:
-                mod["norm"] = _layernorm(sd, f"{pre}.attn.norm_{nm}")
-            if mod:
-                attn[f"pool_{nm}_mod"] = mod
-        for nm in ("rel_pos_h", "rel_pos_w", "rel_pos_t"):
-            if f"{pre}.attn.{nm}" in sd:
-                attn[nm] = sd[f"{pre}.attn.{nm}"]
+        if f"{pre}.norm1.weight" not in sd:
+            continue  # REV checkpoints have no plain blocks
+        attn = _mvit_attn(sd, pre)
         blk = {
             "norm1": _layernorm(sd, f"{pre}.norm1"),
             "norm2": _layernorm(sd, f"{pre}.norm2"),
@@ -510,9 +499,79 @@ def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
             if f"{pre}.{g}" in sd:
                 blk[g] = sd[f"{pre}.{g}"]
         params[f"blocks_{i}"] = blk
+
+    # ---- reversible encoder layout (MVIT.REV,
+    # reference reversible_mvit.py: rev_backbone.layers.{i}.{F,G,res_proj})
+    rev: dict = {}
+    i = 0
+    while f"rev_backbone.layers.{i}.F.norm.weight" in sd:
+        lpre = f"rev_backbone.layers.{i}"
+        layer = {
+            "F": {
+                "norm": _layernorm(sd, f"{lpre}.F.norm"),
+                "attn": _mvit_attn(sd, f"{lpre}.F"),
+            },
+            "G": {
+                "norm": _layernorm(sd, f"{lpre}.G.norm"),
+                "mlp": {
+                    "fc1": _dense(sd, f"{lpre}.G.mlp.fc1"),
+                    "fc2": _dense(sd, f"{lpre}.G.mlp.fc2"),
+                },
+            },
+        }
+        if f"{lpre}.res_proj.weight" in sd:
+            layer["res_proj"] = _dense(sd, f"{lpre}.res_proj")
+        if f"{lpre}.pre_q_fuse.fuse_fn.fc1.weight" in sd:
+            layer["pre_q_fuse"] = {"mlp": {
+                "fc1": _dense(sd, f"{lpre}.pre_q_fuse.fuse_fn.fc1"),
+                "fc2": _dense(sd, f"{lpre}.pre_q_fuse.fuse_fn.fc2"),
+            }}
+        rev[f"layers_{i}"] = layer
+        i += 1
+    if rev:
+        params["rev_backbone"] = rev
+    # RESPATH_FUSE with params (concat_linear / ln+concat_linear)
+    if "fuse.fuse_fn.fc1.weight" in sd:
+        params["fuse"] = {"mlp": {
+            "fc1": _dense(sd, "fuse.fuse_fn.fc1"),
+            "fc2": _dense(sd, "fuse.fuse_fn.fc2"),
+        }}
+    elif "fuse.fuse_fn.0.weight" in sd:
+        params["fuse"] = {
+            "ln": _layernorm(sd, "fuse.fuse_fn.0"),
+            "mlp": {
+                "fc1": _dense(sd, "fuse.fuse_fn.1.fc1"),
+                "fc2": _dense(sd, "fuse.fuse_fn.1.fc2"),
+            },
+        }
+
     if "head.projection.weight" in sd:
         params["head"] = _dense(sd, "head.projection")
     return params
+
+
+def _mvit_attn(sd: Mapping[str, np.ndarray], pre: str) -> dict:
+    """MultiScaleAttention weights under ``{pre}.attn`` -> flax subtree
+    (shared by the plain-block and reversible layouts)."""
+    attn: dict = {"proj": _dense(sd, f"{pre}.attn.proj")}
+    if f"{pre}.attn.qkv.weight" in sd:
+        attn["qkv"] = _dense(sd, f"{pre}.attn.qkv")
+    for nm in ("q", "k", "v"):
+        if f"{pre}.attn.{nm}.weight" in sd:
+            attn[nm] = _dense(sd, f"{pre}.attn.{nm}")
+    for nm in ("q", "k", "v"):
+        mod = {}
+        if f"{pre}.attn.pool_{nm}.weight" in sd:
+            w = sd[f"{pre}.attn.pool_{nm}.weight"]  # [C,1,kt,kh,kw]
+            mod["pool"] = {"kernel": w.transpose(2, 3, 4, 1, 0)}
+        if f"{pre}.attn.norm_{nm}.weight" in sd:
+            mod["norm"] = _layernorm(sd, f"{pre}.attn.norm_{nm}")
+        if mod:
+            attn[f"pool_{nm}_mod"] = mod
+    for nm in ("rel_pos_h", "rel_pos_w", "rel_pos_t"):
+        if f"{pre}.attn.{nm}" in sd:
+            attn[nm] = sd[f"{pre}.attn.{nm}"]
+    return attn
 
 
 def caffe2_name_to_pytorch(name: str) -> str:

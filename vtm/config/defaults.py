@@ -203,6 +203,9 @@ def get_cfg() -> CfgNode:
     _C.MVIT.REV = CfgNode()
     _C.MVIT.REV.ENABLE = False
     _C.MVIT.REV.RESPATH_FUSE = "concat"
+    _C.MVIT.REV.BUFFER_LAYERS = []
+    _C.MVIT.REV.RES_PATH = "conv"
+    _C.MVIT.REV.PRE_Q_FUSION = "avg"
 
     _C.NONLOCAL = CfgNode()
     _C.NONLOCAL.LOCATION = [[[]], [[]], [[]], [[]]]

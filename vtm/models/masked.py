@@ -16,9 +16,14 @@ weights (vtm/train/losses.py::multiple_mse — mathematically the same
 masked-mean objective). HOG labels are pure-numpy host-side work (no
 gradients flow through them).
 
-The MAE branch (MASK.MAE_ON) is not carried: its pooling-attention
-encoder over a token SUBSET contradicts MViT's grid pooling and the
-reference itself only exercises MaskFeat configs (SURVEY §8).
+The MAE branch (MASK.MAE_ON, reference _mae_forward:470-503) is
+carried with a STATIC-shape masking strategy: the kept-token count is
+``int(L * (1 - AUG.MASK_RATIO))`` resolved at build time (the
+reference derives it from the loader mask's population count — a
+dynamic shape). Keep/drop selection is a stable argsort of the noise
+(loader mask or uniform random), exactly the reference's shuffle
+machinery; the decoder predicts ALL positions and the binary mask
+weights the loss (same masked-mean objective).
 """
 
 from __future__ import annotations
@@ -210,6 +215,8 @@ class MaskMViT(nn.Module):
 
     spec: MViTSpec
     pretrain_depth: Tuple[int, ...] = (15,)
+    pred_hog: bool = True  # False -> pixel targets (MASK.PRED_HOG False)
+    time_stride_loss: bool = True
     hog_nbins: int = 9
     hog_cell: int = 8
     decoder_depth: int = 0
@@ -324,13 +331,19 @@ class MaskMViT(nn.Module):
                 feat_sizes.append(tuple(thw))
                 head_dims.append(blk["dim_out"])
 
-        num_classes = tuple(
-            3 * self.hog_nbins
-            * (feat_stride[-1] // self.hog_cell) ** 2
-            for feat_stride in [
-                calc_mvit_feature_geometry(s)[1][d] for d in self.pretrain_depth
-            ]
-        )
+        if self.pred_hog:
+            num_classes = tuple(
+                3 * self.hog_nbins
+                * (feat_stride[-1] // self.hog_cell) ** 2
+                for feat_stride in [
+                    calc_mvit_feature_geometry(s)[1][d]
+                    for d in self.pretrain_depth
+                ]
+            )
+        else:  # pixel targets (reference masked.py:39-47)
+            num_classes = pixel_num_classes(
+                s, self.pretrain_depth, self.time_stride_loss
+            )
         preds = MSSeparateHead(
             spec=s,
             pretrain_depth=tuple(self.pretrain_depth),
@@ -372,6 +385,310 @@ def _interp_mask(mask, size):
     return mask[..., yi, :][..., xi]
 
 
+# ----------------------------------------------------------- MAE branch
+
+
+def _patchify_pixels(imgs, p: int, u: int):
+    """[B, T, H, W, C] -> [B, t*h*w, u*p*p*C] with the reference's
+    token feature order (masked.py _patchify:185-195: nthwupqc)."""
+    b, T, H, W, c = imgs.shape
+    t, h, w = T // u, H // p, W // p
+    x = imgs.reshape(b, t, u, h, p, w, p, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(b, t * h * w, u * p * p * c)
+
+
+def mae_pixel_labels(frames, patch_t_stride: int, p: int,
+                     time_stride_loss: bool = True, norm: bool = True):
+    """Full-grid pixel targets (reference _get_pixel_label_3d:219-243
+    WITHOUT the masked-row selection — the mask weights the loss).
+    Works on jnp or np arrays; per-token normalisation uses the
+    reference's unbiased variance."""
+    xp = jnp if isinstance(frames, jax.Array) else np
+    if time_stride_loss:
+        imgs = frames[:, ::patch_t_stride]
+        u = 1
+    else:
+        imgs = frames
+        u = patch_t_stride
+    label = _patchify_pixels(imgs, p, u)
+    if norm:
+        mean = label.mean(axis=-1, keepdims=True)
+        var = label.var(axis=-1, keepdims=True, ddof=1)
+        label = (label - mean) / (var + 1.0e-6) ** 0.5
+    return label
+
+
+def maskfeat_pixel_labels(spec: MViTSpec, pretrain_depth, frames,
+                          time_stride_loss: bool = True, norm: bool = True):
+    """Per-depth full-grid pixel targets for the non-MAE MaskFeat path
+    (reference _maskfeat_forward:562-570). frames: [B, T, H, W, C]."""
+    _, feat_stride = calc_mvit_feature_geometry(spec)
+    labels = []
+    for depth in pretrain_depth:
+        labels.append(
+            mae_pixel_labels(
+                frames, spec.patch_stride[0], feat_stride[depth][-1],
+                time_stride_loss=time_stride_loss, norm=norm,
+            )
+        )
+    return labels
+
+
+def pixel_num_classes(spec: MViTSpec, pretrain_depth,
+                      time_stride_loss: bool = True):
+    """Prediction width per depth for pixel targets (masked.py:39-47)."""
+    _, feat_stride = calc_mvit_feature_geometry(spec)
+    pred_t_sz = 1 if time_stride_loss else spec.patch_stride[0]
+    return tuple(
+        pred_t_sz * (feat_stride[d][-1] ** 2) * 3 for d in pretrain_depth
+    )
+
+
+class MaskMViTMAE(nn.Module):
+    """MAE pretraining forward (reference _mae_forward:470-503):
+    random/loader-driven token dropping, encoder over the KEPT subset,
+    decoder over the restored full grid with mask tokens, per-depth
+    pixel prediction. Returns (preds, labels, masks) — all full-grid
+    static shapes; ``masks`` weight the loss (multiple_mse).
+
+    Static-shape contract: ``len_keep = int(L * (1 - mask_ratio))``
+    comes from config. With a loader mask, the stable argsort keeps
+    unmasked tokens first, so if the mask's population count differs
+    from the configured ratio, the split follows the configured ratio
+    (documented deviation; the loader's generators produce fixed
+    counts). Pooling/rel-pos must be off (the reference's MAE encoder
+    would break on a token subset the same way).
+    """
+
+    spec: MViTSpec
+    pretrain_depth: Tuple[int, ...] = (15,)
+    mask_ratio: float = 0.75
+    rnd_mask: bool = False
+    per_frame_masking: bool = False
+    mask_tube: bool = False
+    time_stride_loss: bool = True
+    norm_pred_pixel: bool = True
+    decoder_embed_dim: int = 512
+    decoder_sep_pos_embed: bool = False
+    decoder_depth: int = 0
+    dec_kv_kernel: Tuple[int, ...] = ()
+    dec_kv_stride: Tuple[int, ...] = ()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, state=None, rng=None,
+                 train: bool = False):
+        s = self.spec
+        if isinstance(x, (list, tuple)):
+            x = x[0]
+        frames = x
+        b = x.shape[0]
+        for blk in s.block_plan()[: max(self.pretrain_depth) + 1]:
+            assert not blk["kernel_q"] and not blk["kernel_kv"], (
+                "the MAE encoder runs on a token subset; pooling "
+                "attention requires the full grid (same constraint as "
+                "the reference)"
+            )
+        assert not (s.rel_pos_spatial or s.rel_pos_temporal)
+
+        x = nn.Conv(
+            s.embed_dim,
+            kernel_size=tuple(s.patch_kernel),
+            strides=tuple(s.patch_stride),
+            padding=tuple((p, p) for p in s.patch_padding),
+            kernel_init=trunc02,
+            bias_init=nn.initializers.constant(0.02),
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        t, hh, ww = x.shape[1:4]
+        x = x.reshape(b, -1, s.embed_dim)
+        n_full = t * hh * ww
+        sp = 1 if s.cls_embed_on else 0
+
+        pos_embed = None
+        if s.use_abs_pos and not s.sep_pos_embed:
+            if s.use_fixed_sincos_pos:
+                table = get_3d_sincos_pos_embed(
+                    s.embed_dim, hh, t, s.cls_embed_on
+                )[None].astype(np.float32)
+                init = lambda key, shape: jnp.asarray(table)
+            else:
+                init = trunc02
+            pos_embed = self.param(
+                "pos_embed", init, (1, n_full + sp, s.embed_dim)
+            )
+        if s.use_fixed_sincos_pos:
+            x = x + pos_embed[:, sp:, :].astype(x.dtype)
+
+        # ---- token dropping (reference _mae_random_masking:296-332)
+        L = hh * ww if self.per_frame_masking else n_full
+        rows = b * t if self.per_frame_masking else b
+        len_keep = int(L * (1 - self.mask_ratio))
+        assert len_keep > 1
+        if self.rnd_mask or mask is None:
+            key = self.make_rng("mask")
+            if self.mask_tube and not self.per_frame_masking:
+                noise = jax.random.uniform(key, (b, 1, hh * ww))
+                noise = jnp.tile(noise, (1, t, 1)).reshape(rows, L)
+            else:
+                noise = jax.random.uniform(key, (rows, L))
+        else:
+            noise = _interp_mask(jnp.asarray(mask, jnp.float32), (hh, ww))
+            if noise.ndim == 3:  # 2-D mask -> tube over time
+                noise = jnp.broadcast_to(noise[:, None], (b, t, hh, ww))
+            noise = noise.reshape(rows, L)
+        ids_shuffle = jnp.argsort(noise, axis=1, stable=True)
+        ids_restore = jnp.argsort(ids_shuffle, axis=1)
+        ids_keep = ids_shuffle[:, :len_keep]
+        x_rows = x.reshape(rows, L, s.embed_dim)
+        x_kept = jnp.take_along_axis(x_rows, ids_keep[:, :, None], axis=1)
+        bin_mask = jnp.ones((rows, L), jnp.float32)
+        bin_mask = bin_mask.at[:, :len_keep].set(0.0)
+        bin_mask = jnp.take_along_axis(bin_mask, ids_restore, axis=1)
+        out_mask = bin_mask.reshape(b, n_full)
+        x = x_kept.reshape(b, -1, s.embed_dim)
+
+        if s.cls_embed_on:
+            cls_token = self.param("cls_token", trunc02, (1, 1, s.embed_dim))
+            cls = jnp.broadcast_to(cls_token, (b, 1, s.embed_dim))
+            if s.use_fixed_sincos_pos:
+                cls = cls + pos_embed[:, :sp, :]
+            x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
+
+        if s.use_abs_pos and not s.use_fixed_sincos_pos:
+            # gather the kept tokens' pos embeddings (masked.py:363-404)
+            if s.sep_pos_embed:
+                p_t, p_h, p_w = t, hh, ww
+                pe_s = self.param(
+                    "pos_embed_spatial", trunc02, (1, p_h * p_w, s.embed_dim)
+                )
+                pe_t = self.param(
+                    "pos_embed_temporal", trunc02, (1, p_t, s.embed_dim)
+                )
+                pe = jnp.tile(pe_s, (1, p_t, 1)) + jnp.repeat(
+                    pe_t, p_h * p_w, axis=1
+                )
+            else:
+                pe = pos_embed[:, sp:, :]
+            pe = jnp.broadcast_to(pe, (b, n_full, s.embed_dim))
+            pe = pe.reshape(rows, L, s.embed_dim)
+            pe = jnp.take_along_axis(pe, ids_keep[:, :, None], axis=1)
+            pe = pe.reshape(b, -1, s.embed_dim)
+            if s.cls_embed_on:
+                pe_c = (
+                    self.param(
+                        "pos_embed_class", trunc02, (1, 1, s.embed_dim)
+                    )
+                    if s.sep_pos_embed
+                    else pos_embed[:, :sp, :]
+                )
+                pe = jnp.concatenate(
+                    [jnp.broadcast_to(pe_c, (b, 1, s.embed_dim)), pe], axis=1
+                )
+            x = x + pe.astype(x.dtype)
+
+        # ---- encoder blocks over the kept subset
+        plan = s.block_plan()
+        thw = (t, hh, ww)  # nominal only; no pooling reshapes happen
+        for i, blk in enumerate(plan[: max(self.pretrain_depth) + 1]):
+            x, thw = MultiScaleBlock(
+                dim=blk["dim"],
+                dim_out=blk["dim_out"],
+                num_heads=blk["num_heads"],
+                input_size=blk["input_size"],
+                mlp_ratio=s.mlp_ratio,
+                qkv_bias=s.qkv_bias,
+                kernel_q=(),
+                kernel_kv=(),
+                stride_q=(),
+                stride_kv=(),
+                mode=s.mode,
+                has_cls=s.cls_embed_on,
+                pool_first=s.pool_first,
+                rel_pos_spatial=False,
+                rel_pos_temporal=False,
+                rel_pos_zero_init=s.rel_pos_zero_init,
+                residual_pooling=s.residual_pooling,
+                dim_mul_in_att=s.dim_mul_in_att,
+                separate_qkv=s.separate_qkv,
+                layer_scale_init_value=s.layer_scale_init_value,
+                drop_path=0.0,
+                norm_eps=s.norm_eps,
+                dtype=self.dtype,
+                is_training=train,
+                name=f"blocks_{i}",
+            )(x, thw)
+        x = LayerNorm(epsilon=s.norm_eps, name="norm")(x)
+
+        # ---- decoder (reference _mae_forward_decoder:415-468)
+        dec_dim = self.decoder_embed_dim
+        x = nn.Dense(
+            dec_dim, kernel_init=trunc02, dtype=self.dtype,
+            name="decoder_embed",
+        )(x)
+        mask_token = self.param("mask_token", trunc02, (1, 1, dec_dim))
+        core = x[:, sp:, :].reshape(rows, len_keep, dec_dim)
+        mt = jnp.broadcast_to(
+            mask_token.astype(core.dtype), (rows, L - len_keep, dec_dim)
+        )
+        x_ = jnp.concatenate([core, mt], axis=1)
+        x_ = jnp.take_along_axis(x_, ids_restore[:, :, None], axis=1)
+        x_ = x_.reshape(b, n_full, dec_dim)
+        x = jnp.concatenate([x[:, :sp, :], x_], axis=1)
+
+        if s.use_abs_pos:
+            if self.decoder_sep_pos_embed:
+                dpe_s = self.param(
+                    "dec_pos_embed_spatial", trunc02, (1, hh * ww, dec_dim)
+                )
+                dpe_t = self.param(
+                    "dec_pos_embed_temporal", trunc02, (1, t, dec_dim)
+                )
+                dpe = jnp.tile(dpe_s, (1, t, 1)) + jnp.repeat(
+                    dpe_t, hh * ww, axis=1
+                )
+                if s.cls_embed_on:
+                    dpe_c = self.param(
+                        "dec_pos_embed_class", trunc02, (1, 1, dec_dim)
+                    )
+                    dpe = jnp.concatenate([dpe_c, dpe], axis=1)
+            else:
+                dpe = self.param(
+                    "decoder_pos_embed", trunc02, (1, n_full + sp, dec_dim)
+                )
+            x = x + dpe.astype(x.dtype)
+
+        num_classes = pixel_num_classes(
+            s, self.pretrain_depth, self.time_stride_loss
+        )
+        preds = MSSeparateHead(
+            spec=s,
+            pretrain_depth=tuple(self.pretrain_depth),
+            num_classes=num_classes,
+            head_dims=(dec_dim,) * len(self.pretrain_depth),
+            feat_sizes=((t, hh, ww),) * len(self.pretrain_depth),
+            decoder_depth=self.decoder_depth,
+            decoder_embed_dim=dec_dim,
+            dec_kv_kernel=self.dec_kv_kernel,
+            dec_kv_stride=self.dec_kv_stride,
+            name="pred_head",
+        )([x] * len(self.pretrain_depth), (t, hh, ww))
+
+        _, feat_stride = calc_mvit_feature_geometry(s)
+        labels = [
+            mae_pixel_labels(
+                frames, s.patch_stride[0], feat_stride[d][-1],
+                time_stride_loss=self.time_stride_loss,
+                norm=self.norm_pred_pixel,
+            )
+            for d in self.pretrain_depth
+        ]
+        masks = [out_mask > 0.5] * len(self.pretrain_depth)
+        return preds, labels, masks
+
+
 # --------------------------------------------------------------- registry
 
 from vtm.models.build import ModelBundle, compute_dtype, register_model  # noqa: E402
@@ -381,17 +698,37 @@ from vtm.models.build import ModelBundle, compute_dtype, register_model  # noqa:
 def _build_maskmvit_bundle(cfg) -> ModelBundle:
     from vtm.merge.policy import MergePolicy
 
-    if cfg.MASK.MAE_ON:
-        raise NotImplementedError(
-            "the MAE branch is not carried (token-subset encoding breaks "
-            "MViT's grid pooling; the reference exercises MaskFeat only)"
-        )
-    if not cfg.MASK.PRED_HOG:
-        raise NotImplementedError("pixel-target MaskFeat is not carried")
     spec = mvit_spec_from_cfg(cfg)
+    if cfg.MASK.MAE_ON:
+        assert not cfg.MASK.PRED_HOG, (
+            "MAE carries the pixel branch; HOG targets use MaskFeat "
+            "(MASK.MAE_ON False)"
+        )
+        module = MaskMViTMAE(
+            spec=spec,
+            pretrain_depth=tuple(cfg.MASK.PRETRAIN_DEPTH),
+            mask_ratio=cfg.AUG.MASK_RATIO,
+            rnd_mask=cfg.MASK.MAE_RND_MASK,
+            per_frame_masking=cfg.MASK.PER_FRAME_MASKING,
+            mask_tube=cfg.AUG.MASK_TUBE,
+            time_stride_loss=cfg.MASK.TIME_STRIDE_LOSS,
+            norm_pred_pixel=cfg.MASK.NORM_PRED_PIXEL,
+            decoder_embed_dim=cfg.MASK.DECODER_EMBED_DIM,
+            decoder_sep_pos_embed=cfg.MASK.DECODER_SEP_POS_EMBED,
+            decoder_depth=cfg.MASK.DECODER_DEPTH,
+            dec_kv_kernel=tuple(cfg.MASK.DEC_KV_KERNEL),
+            dec_kv_stride=tuple(cfg.MASK.DEC_KV_STRIDE),
+            dtype=compute_dtype(cfg),
+        )
+        return ModelBundle(
+            module=module, params=None, config=spec,
+            policy=MergePolicy(), name="MaskMViT",
+        )
     module = MaskMViT(
         spec=spec,
         pretrain_depth=tuple(cfg.MASK.PRETRAIN_DEPTH),
+        pred_hog=cfg.MASK.PRED_HOG,
+        time_stride_loss=cfg.MASK.TIME_STRIDE_LOSS,
         decoder_depth=cfg.MASK.DECODER_DEPTH,
         decoder_embed_dim=cfg.MASK.DECODER_EMBED_DIM,
         dec_kv_kernel=tuple(cfg.MASK.DEC_KV_KERNEL),

@@ -17,9 +17,11 @@ TPU-first notes:
 - Pooling convs run depthwise on [B*heads, T, H, W, head_dim]
   channels-last.
 
-Out of scope (documented): reversible MViT (MVIT.REV), masked-SSL
-heads, detection (ROI) head, `conv_unshared` mode — none exercised by
-the ToMe benchmark (SURVEY §8).
+The reversible encoder (MVIT.REV) lives in vtm/models/mvit_rev.py; the
+MaskFeat/MAE pretraining heads in vtm/models/masked.py; the AVA
+detection (ROI) head is wired below via vtm/models/roi_head.py.
+Out of scope (documented): `conv_unshared` mode (unused by any
+reference config).
 """
 
 from __future__ import annotations
@@ -167,6 +169,9 @@ class AttentionPool(nn.Module):
     has_cls: bool
     with_norm: bool = True
     norm_eps: float = 1e-6
+    # override the default k//2 padding (the reversible max res path
+    # pads with stride//2, reversible_mvit.py:345-351)
+    pad_override: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x, thw):
@@ -178,7 +183,10 @@ class AttentionPool(nn.Module):
             cls_tok, x = x[:, :, :1], x[:, :, 1:]
         t, hh, ww = thw
         xg = x.reshape(b * h, t, hh, ww, c)
-        pad = tuple((k // 2, k // 2) for k in self.kernel)
+        if self.pad_override is not None:
+            pad = tuple((p, p) for p in self.pad_override)
+        else:
+            pad = tuple((k // 2, k // 2) for k in self.kernel)
         if self.mode == "conv":
             xg = nn.Conv(
                 self.dim_conv,
@@ -228,7 +236,12 @@ class MultiScaleAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, thw):
+    def __call__(self, x, thw, x_res=None):
+        """x_res (optional, [B, heads, L, c]): an external residual to
+        pool through the SAME pool_q conv/norm (weight sharing used by
+        the reversible StageTransitionBlock, reference
+        reversible_mvit.py:381-407). When given, returns a third value:
+        the pooled residual."""
         b, n, dim_in = x.shape
         head_dim = self.dim_out // self.num_heads
         scale = head_dim ** -0.5
@@ -264,10 +277,14 @@ class MultiScaleAttention(nn.Module):
                 v = dense(self.dim_out, "v")(x).reshape(
                     b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        q, q_shape = AttentionPool(
+        pool_q_mod = AttentionPool(
             kernel_q, self.stride_q, self.mode, dim_conv, self.has_cls,
             name="pool_q_mod",
-        )(q, thw)
+        )
+        q, q_shape = pool_q_mod(q, thw)
+        pooled_res = None
+        if x_res is not None:
+            pooled_res, _ = pool_q_mod(x_res, thw)
         k, k_shape = AttentionPool(
             kernel_kv, self.stride_kv, self.mode, dim_conv, self.has_cls,
             name="pool_k_mod",
@@ -328,6 +345,8 @@ class MultiScaleAttention(nn.Module):
             self.dim_out, dtype=self.dtype, kernel_init=trunc02,
             bias_init=nn.initializers.constant(0.02), name="proj",
         )(out)
+        if x_res is not None:
+            return out, q_shape, pooled_res
         return out, q_shape
 
 
@@ -489,6 +508,17 @@ class MViTSpec:
     head_act: str
     head_init_scale: float
     norm_eps: float = 1e-6
+    # reversible encoder (MVIT.REV, reference reversible_mvit.py)
+    rev_enable: bool = False
+    rev_respath_fuse: str = "concat"
+    rev_buffer_layers: Tuple[int, ...] = ()
+    rev_res_path: str = "conv"
+    rev_pre_q_fusion: str = "avg"
+    # AVA detection head (DETECTION.*, video_model_builder.py:1057)
+    detection: bool = False
+    roi_resolution: int = 7
+    roi_scale_factor: int = 16
+    roi_aligned: bool = True
 
     @property
     def patch_dims(self) -> Tuple[int, int, int]:
@@ -498,17 +528,18 @@ class MViTSpec:
             self.crop_size // self.patch_stride[2],
         )
 
-    def block_plan(self):
-        """Per-block (num_heads, dim_out, pool_q, pool_kv, stride_q,
-        stride_kv, input_size) — the schedule math of
-        video_model_builder.py:924-1052."""
-        depth = self.depth
-        dim_mul = np.ones(depth + 1)
-        head_mul = np.ones(depth + 1)
+    def _muls(self):
+        dim_mul = np.ones(self.depth + 1)
+        head_mul = np.ones(self.depth + 1)
         for i, m in self.dim_mul:
             dim_mul[int(i)] = m
         for i, m in self.head_mul:
             head_mul[int(i)] = m
+        return dim_mul, head_mul
+
+    def _pool_schedule(self):
+        """Per-depth pool kernels/strides (video_model_builder.py:924-974)."""
+        depth = self.depth
         pool_q = [[] for _ in range(depth)]
         pool_kv = [[] for _ in range(depth)]
         stride_q = [[] for _ in range(depth)]
@@ -540,6 +571,15 @@ class MViTSpec:
                 if self.pool_kvq_kernel is not None
                 else [s + 1 if s > 1 else s for s in entry[1:]]
             )
+        return pool_q, pool_kv, stride_q, stride_kv
+
+    def block_plan(self):
+        """Per-block (num_heads, dim_out, pool_q, pool_kv, stride_q,
+        stride_kv, input_size) — the schedule math of
+        video_model_builder.py:924-1052."""
+        depth = self.depth
+        dim_mul, head_mul = self._muls()
+        pool_q, pool_kv, stride_q, stride_kv = self._pool_schedule()
 
         plan = []
         embed_dim = self.embed_dim
@@ -575,6 +615,61 @@ class MViTSpec:
                 ]
             embed_dim = dim_out
         return plan
+
+    def rev_block_plan(self):
+        """Per-layer schedule for the reversible encoder — the dim logic
+        of reversible_mvit.py:74-128 ("upsampling inside the MHPA": the
+        channel change is localised to the stage-transition layer whose
+        dim_mul fires, keeping the surrounding layers reversible)."""
+        depth = self.depth
+        dim_mul, head_mul = self._muls()
+        pool_q, pool_kv, stride_q, stride_kv = self._pool_schedule()
+        concat_fuse = "concat" in self.rev_pre_q_fusion
+        plan = []
+        embed_dim = self.embed_dim
+        num_heads = self.num_heads
+        input_size = list(self.patch_dims)
+        for i in range(depth):
+            num_heads = round_width(num_heads, head_mul[i])
+            embed_dim = round_width(
+                embed_dim, dim_mul[i - 1] if i > 0 else 1.0, divisor=num_heads
+            )
+            dim_out = round_width(
+                embed_dim,
+                dim_mul[i],
+                divisor=round_width(num_heads, head_mul[i + 1]),
+            )
+            is_transition = i in self.rev_buffer_layers
+            input_mult = 2 if (is_transition and concat_fuse) else 1
+            plan.append(
+                dict(
+                    dim=embed_dim * input_mult,
+                    # reference: dim_out*input_mult//dimout_correction, and
+                    # dimout_correction == input_mult in every branch
+                    dim_out=dim_out,
+                    num_heads=num_heads,
+                    input_size=tuple(input_size),
+                    kernel_q=tuple(pool_q[i]),
+                    kernel_kv=tuple(pool_kv[i]),
+                    stride_q=tuple(stride_q[i]),
+                    stride_kv=tuple(stride_kv[i]),
+                    is_transition=is_transition,
+                )
+            )
+            if len(stride_q[i]) > 0:
+                input_size = [
+                    size // s for size, s in zip(input_size, stride_q[i])
+                ]
+        return plan
+
+    @property
+    def rev_final_dim(self) -> int:
+        """Single-stream channel width after the reversible encoder
+        (video_model_builder.py:987-989)."""
+        dim_mul, _ = self._muls()
+        return round_width(
+            self.embed_dim, float(np.prod(dim_mul)), divisor=self.num_heads
+        )
 
 
 def mvit_spec_from_cfg(cfg) -> MViTSpec:
@@ -627,6 +722,15 @@ def mvit_spec_from_cfg(cfg) -> MViTSpec:
         dropout_rate=cfg.MODEL.DROPOUT_RATE,
         head_act=cfg.MODEL.HEAD_ACT,
         head_init_scale=cfg.MVIT.HEAD_INIT_SCALE,
+        rev_enable=cfg.MVIT.REV.ENABLE,
+        rev_respath_fuse=cfg.MVIT.REV.RESPATH_FUSE,
+        rev_buffer_layers=tuple(cfg.MVIT.REV.BUFFER_LAYERS),
+        rev_res_path=cfg.MVIT.REV.RES_PATH,
+        rev_pre_q_fusion=cfg.MVIT.REV.PRE_Q_FUSION,
+        detection=cfg.DETECTION.ENABLE,
+        roi_resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
+        roi_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
+        roi_aligned=cfg.DETECTION.ALIGNED,
     )
 
 
@@ -643,7 +747,8 @@ class MViTModel(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, x, state=None, rng=None, train: bool = False):
+    def __call__(self, x, state=None, rng=None, train: bool = False,
+                 bboxes=None):
         s = self.spec
         if isinstance(x, (list, tuple)):
             x = x[0]
@@ -660,9 +765,26 @@ class MViTModel(nn.Module):
             name="patch_embed",
         )(x)
         thw = x.shape[1:4]
-        assert tuple(thw) == s.patch_dims, (thw, s.patch_dims)
+        if tuple(thw) != s.patch_dims:
+            # trained-grid pos embeds are interpolated to the input grid
+            # (reference _get_pos_embed, video_model_builder.py:1139-1163
+            # — the AVA detection path feeds non-square frames)
+            assert s.use_abs_pos and not s.use_fixed_sincos_pos, (
+                thw, s.patch_dims,
+            )
         x = x.reshape(b, -1, s.embed_dim)
-        n = x.shape[1]
+        n = int(np.prod(s.patch_dims))
+
+        def to_grid(pe):
+            """pos table on the trained patch grid -> the input grid."""
+            if tuple(thw) == s.patch_dims:
+                return pe
+            p_t, p_h, p_w = s.patch_dims
+            grid = pe.reshape(1, p_t, p_h, p_w, -1)
+            grid = jax.image.resize(
+                grid, (1,) + tuple(thw) + (grid.shape[-1],), method="linear"
+            )
+            return grid.reshape(1, -1, pe.shape[-1])
 
         pos_embed = None
         if s.use_abs_pos and not s.sep_pos_embed:
@@ -707,6 +829,7 @@ class MViTModel(nn.Module):
                 pe = jnp.tile(pe_s, (1, p_t, 1)) + jnp.repeat(
                     pe_t, p_h * p_w, axis=1
                 )
+                pe = to_grid(pe)
                 if s.cls_embed_on:
                     pe_c = self.param(
                         "pos_embed_class", trunc02, (1, 1, s.embed_dim)
@@ -714,14 +837,55 @@ class MViTModel(nn.Module):
                     pe = jnp.concatenate([pe_c, pe], axis=1)
             else:
                 pe = pos_embed
+                if tuple(thw) != s.patch_dims:
+                    pe_c, pe_grid = pe[:, :sp], pe[:, sp:]
+                    pe = jnp.concatenate([pe_c, to_grid(pe_grid)], axis=1)
             x = x + pe.astype(x.dtype)
 
         if s.norm_stem:
             x = LayerNorm(epsilon=s.norm_eps, name="norm_stem")(x)
 
+        if s.rev_enable:
+            # reversible encoder path (video_model_builder.py:1165-1186)
+            from vtm.models.mvit_rev import ReversibleMViT, TwoStreamFusion
+
+            assert not s.cls_embed_on, "rev does not allow cls token"
+            assert not s.detection, "rev does not support detection"
+            x = ReversibleMViT(
+                spec=s, dtype=self.dtype, is_training=train,
+                name="rev_backbone",
+            )(x)
+            two_dim = 2 * s.rev_final_dim
+            fuse = TwoStreamFusion(
+                s.rev_respath_fuse, dim=two_dim, name="fuse"
+            )
+            norm = LayerNorm(epsilon=s.norm_eps, name="norm")
+            if s.use_mean_pooling:
+                x = fuse(x)
+                x = norm(x.mean(axis=1))
+            else:
+                x = norm(x)
+                x = fuse(x)
+                x = x.mean(axis=1)
+            if train and s.dropout_rate > 0.0:
+                x = nn.Dropout(s.dropout_rate, deterministic=False)(x)
+            logits = nn.Dense(
+                s.num_classes,
+                dtype=jnp.float32,
+                kernel_init=trunc02,
+                bias_init=nn.initializers.constant(0.02),
+                name="head",
+            )(x)
+            if not train:
+                if s.head_act == "softmax":
+                    logits = jax.nn.softmax(logits, axis=-1)
+                elif s.head_act == "sigmoid":
+                    logits = jax.nn.sigmoid(logits)
+            return logits, state
+
         plan = s.block_plan()
         dpr = np.linspace(0, s.droppath_rate, s.depth)
-        thw = s.patch_dims
+        thw = tuple(thw)  # actual input grid (== patch_dims when square)
         block_cls = (
             nn.remat(MultiScaleBlock, static_argnums=(2,))
             if self.remat
@@ -757,6 +921,26 @@ class MViTModel(nn.Module):
             )(x, thw)
 
         norm = LayerNorm(epsilon=s.norm_eps, name="norm")
+        if s.detection and bboxes is not None:
+            # ROI path (video_model_builder.py:1239-1248 + :1057-1066):
+            # norm, strip cls, refold to the [T, H, W] grid, ROI head
+            from vtm.models.roi_head import ResNetRoIHead
+
+            x = norm(x)
+            if s.cls_embed_on:
+                x = x[:, 1:]
+            x = x.reshape(x.shape[0], thw[0], thw[1], thw[2], -1)
+            logits = ResNetRoIHead(
+                num_classes=s.num_classes,
+                resolution=(s.roi_resolution,),
+                scale_factor=(s.roi_scale_factor,),
+                dropout_rate=s.dropout_rate if train else 0.0,
+                act_func=s.head_act,
+                aligned=s.roi_aligned,
+                name="head",
+            )([x], bboxes, train=train)
+            return logits, state
+
         if s.use_mean_pooling:
             if s.cls_embed_on:
                 x = x[:, 1:]
@@ -790,10 +974,6 @@ from vtm.models.build import ModelBundle, compute_dtype, register_model  # noqa:
 def _build_mvit_bundle(cfg) -> ModelBundle:
     from vtm.merge.policy import MergePolicy
 
-    if cfg.DETECTION.ENABLE:
-        raise NotImplementedError("AVA detection head is not carried (SURVEY §8)")
-    if cfg.MVIT.REV.ENABLE:
-        raise NotImplementedError("reversible MViT is not carried (SURVEY §8)")
     spec = mvit_spec_from_cfg(cfg)
     module = MViTModel(
         spec=spec, dtype=compute_dtype(cfg), remat=cfg.MODEL.ACT_CHECKPOINT

@@ -251,6 +251,35 @@ def make_detection_train_step(module, tx, loss_name: str,
     return jax.jit(step)
 
 
+def make_mae_train_step(module, tx):
+    """MAE pretraining step (MASK.MAE_ON): the model returns
+    (full-grid preds, in-graph pixel labels, binary masks); the loss is
+    the mask-weighted mse over dropped positions — the static-shape
+    equivalent of the reference's x[mask] selection + MSE
+    (reference masked.py _mae_forward:470-503)."""
+    from vtm.train.losses import multiple_mse
+
+    def step(params, opt_state, frames, mask, rngs):
+        def loss_fn(p):
+            preds, labels, out_masks = module.apply(
+                {"params": p}, frames, mask, train=True,
+                rngs={"dropout": rngs, "mask": rngs},
+            )
+            loss, multi = multiple_mse(
+                preds,
+                [(l, 1.0 / len(labels)) for l in labels],
+                out_masks,
+            )
+            return loss, multi
+
+        (loss, multi), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt_state, loss, multi
+
+    return jax.jit(step)
+
+
 def make_maskfeat_train_step(module, tx):
     """MaskFeat pretraining step (reference train_net.py:142-143 —
     ``preds, labels = model(inputs)`` + MultipleMSELoss).

@@ -118,18 +118,26 @@ def _probe_device(timeout_s: int = 120, attempts: int = 3) -> None:
     sys.exit(3)
 
 
+_HEADLINE_PRINTED = False
+
+
 def _arm_global_watchdog(limit_s: int = 2400) -> None:
     """Hard exit if the whole benchmark exceeds ``limit_s`` — a lease
-    that flaps mid-run would otherwise hang the driver indefinitely."""
+    that flaps mid-run would otherwise hang the driver indefinitely.
+    If the headline JSON line is already out (only the optional
+    FLOP/MFU/max-merging extras were still running), exit 0 so the
+    driver records the parsed number."""
     import threading
 
     def fire():
         sys.stderr.write(
             f"bench.py: exceeded the {limit_s}s watchdog (TPU lease "
-            "hung mid-run); exiting.\n"
+            "hung mid-run); exiting "
+            f"{'after' if _HEADLINE_PRINTED else 'BEFORE'} the headline "
+            "line.\n"
         )
         sys.stderr.flush()
-        os._exit(4)
+        os._exit(0 if _HEADLINE_PRINTED else 4)
 
     timer = threading.Timer(limit_s, fire)
     timer.daemon = True
@@ -165,6 +173,8 @@ def main():
     base_cps = measure(base, params, x, iters, rtt)
     merged_cps = measure(merged, params, x, iters, rtt)
 
+    # headline FIRST — everything after this line is optional detail,
+    # and a mid-run hang past this point still yields a parsable bench
     print(
         json.dumps(
             {
@@ -173,8 +183,11 @@ def main():
                 "unit": "clips/s",
                 "vs_baseline": round(merged_cps / base_cps, 4),
             }
-        )
+        ),
+        flush=True,
     )
+    global _HEADLINE_PRINTED
+    _HEADLINE_PRINTED = True
 
     # ---- auditable sidecar ------------------------------------------
     detail = {

@@ -101,9 +101,33 @@ def _install_native_stubs():
     bnm.NaiveSyncBatchNorm3d = NaiveSyncBatchNorm3d
 
     dist = mod("pytorchvideo.layers.distributed"); ptvl.distributed = dist
-    for fn in ("cat_all_gather", "get_local_process_group", "get_local_rank",
-               "get_local_size", "get_world_size", "init_distributed_training"):
-        setattr(dist, fn, lambda *a, **k: None)
+    dist.cat_all_gather = lambda x, *a, **k: x  # single process
+    dist.get_local_process_group = lambda *a, **k: None
+    dist.get_local_rank = lambda *a, **k: 0
+    dist.get_local_size = lambda *a, **k: 1
+    dist.get_world_size = lambda *a, **k: 1
+    dist.init_distributed_training = lambda *a, **k: None
+
+    # losses pulled by slowfast/models/losses.py (numeric: soft-target CE)
+    ptvloss = mod("pytorchvideo.losses"); ptv.losses = ptvloss
+    stce = mod("pytorchvideo.losses.soft_target_cross_entropy")
+    ptvloss.soft_target_cross_entropy = stce
+
+    class SoftTargetCrossEntropyLoss(tnn.Module):
+        def __init__(self, normalize_targets=True, reduction="mean"):
+            super().__init__()
+            self.normalize_targets = normalize_targets
+            self.reduction = reduction
+
+        def forward(self, x, y):
+            if y.ndim == 1:
+                y = tnn.functional.one_hot(y, x.shape[-1]).float()
+            if self.normalize_targets:
+                y = y / y.sum(dim=-1, keepdim=True)
+            loss = torch.sum(-y * tnn.functional.log_softmax(x, dim=-1), dim=-1)
+            return loss.mean() if self.reduction == "mean" else loss
+
+    stce.SoftTargetCrossEntropyLoss = SoftTargetCrossEntropyLoss
 
     # ---- iopath
     iop = mod("iopath"); ioc = mod("iopath.common"); iof = mod("iopath.common.file_io")

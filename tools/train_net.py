@@ -222,7 +222,134 @@ def eval_epoch(loader, eval_step, params, meter, cur_epoch, cfg, multi_head,
     meter.reset()
 
 
+def train_contrastive(cfg):
+    """Contrastive SSL pretraining loop (reference train_net.py
+    ContrastiveModel path: contrastive_forward + parameter surgery +
+    queue warm-up + kNN eval). State (queue/ptr/momentum encoder/knn
+    bank) is an explicit pytree threaded through the jitted step."""
+    import jax
+    import jax.numpy as jnp
+
+    from vtm.models.contrastive import (
+        build_contrastive_model,
+        knn_predict,
+        l2_normalize,
+        moco_iters_noupdate,
+    )
+    from vtm.train.train_step import make_contrastive_train_step
+
+    setup_environment()
+    setup_logging(cfg.OUTPUT_DIR)
+    np.random.seed(cfg.RNG_SEED)
+    logger.info("SSL train with config:\n%s", cfg.dump())
+
+    model, bundle = build_contrastive_model(cfg)
+    cc = model.cc
+    all_params = {"backbone": bundle.params}
+    if cc.type == "swav":
+        all_params["swav_prototypes"] = model.init_swav_prototypes(
+            jax.random.key(cfg.RNG_SEED + 1)
+        )
+    stats = bundle.batch_stats
+    state = model.init_state(
+        bundle.params, stats, jax.random.key(cfg.RNG_SEED)
+    )
+    tx, lr_at = construct_optimizer(cfg, all_params)
+    opt_state = tx.init(all_params)
+    step = make_contrastive_train_step(model, tx)
+
+    train_loader = construct_loader(cfg, "train")
+    data_size = len(train_loader)
+    # knn label bank (reference init_knn_labels, contrastive.py:145-160)
+    train_labels = np.asarray(
+        getattr(train_loader.dataset, "_labels", np.zeros(cc.length)),
+        np.int64,
+    )
+    iters_nu = (
+        moco_iters_noupdate(cc, cfg.TRAIN.BATCH_SIZE)
+        if cc.type == "moco"
+        else 0
+    )
+    meter = TrainMeter(data_size, cfg)
+    for cur_epoch in range(cfg.SOLVER.MAX_EPOCH):
+        shuffle_dataset(train_loader, cur_epoch)
+        meter.iter_tic()
+        for cur_iter, batch in enumerate(train_loader):
+            epoch_exact = cur_epoch + float(cur_iter) / data_size
+            lr = lr_at(epoch_exact)
+            opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.float32
+            )
+            clips_arr = np.asarray(batch["clips"], np.float32)
+            clips = [
+                [jnp.asarray(clips_arr[:, i])]
+                for i in range(clips_arr.shape[1])
+            ]
+            index = jnp.asarray(
+                np.asarray(batch["index"]) % cc.length
+            )
+            meter.data_toc()
+            update = not (
+                cc.type == "moco"
+                and cur_iter < iters_nu
+                and epoch_exact < 1
+            )
+            all_params, stats, state, opt_state, loss, _ = step(
+                all_params, stats, state, opt_state, clips, index,
+                epoch_exact,
+                jax.random.key(
+                    cfg.RNG_SEED + cur_epoch * data_size + cur_iter
+                ),
+                update_param=update,
+            )
+            loss = float(loss)
+            if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
+                raise RuntimeError(
+                    f"NaN/inf SSL loss at epoch {cur_epoch} iter {cur_iter}"
+                )
+            meter.iter_toc()
+            meter.update_stats(0.0, 0.0, loss, lr,
+                               clips_arr.shape[0])
+            meter.log_iter_stats(cur_epoch, cur_iter)
+            meter.iter_tic()
+        meter.log_epoch_stats(cur_epoch)
+        meter.reset()
+        if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0 or (
+            cur_epoch + 1
+        ) == cfg.SOLVER.MAX_EPOCH:
+            cu.save_checkpoint(
+                cfg.OUTPUT_DIR, all_params["backbone"], opt_state,
+                cur_epoch, cfg, batch_stats=stats,
+            )
+        # kNN eval (reference train_net.py:437-460)
+        if cc.knn_on and (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
+            val_loader = construct_loader(cfg, "val")
+            correct = total = 0
+            for batch in val_loader:
+                frames = jnp.asarray(np.asarray(batch["frames"], np.float32))
+                feat, _ = model.backbone_forward(
+                    all_params["backbone"], stats, [frames]
+                )
+                if isinstance(feat, (list, tuple)):
+                    feat = feat[0]
+                preds = knn_predict(
+                    model, state, l2_normalize(feat), train_labels,
+                    cc.num_classes_downstream,
+                )
+                top1 = np.asarray(preds).argmax(axis=1)
+                labels = np.asarray(batch["label"])
+                correct += int((top1 == labels).sum())
+                total += len(labels)
+            logger.info(
+                "json_stats: {\"_type\": \"ssl_knn_eval\", \"epoch\": %d, "
+                "\"knn_top1\": %.4f}", cur_epoch, correct / max(total, 1),
+            )
+    return all_params
+
+
 def train(cfg):
+    if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
+        return train_contrastive(cfg)
     setup_environment()
     setup_logging(cfg.OUTPUT_DIR)
     np.random.seed(cfg.RNG_SEED)

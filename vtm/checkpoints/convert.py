@@ -422,6 +422,33 @@ def convert_pyslowfast(sd: Mapping[str, np.ndarray], num_splits: int = 1) -> tup
     params: dict = {}
     stats: dict = {}
 
+    # SSL MLP heads (head_helper.py MLPHead): torch Sequential indices
+    # `head.projection.projection.{i}` / `head.predictors.{j}.projection.{i}`
+    # -> flax `head/projection/fc{k}` (+`bn{k}`) / `head/predictors_{j}/...`
+    def rename_mlp(key: str) -> str:
+        m = re.match(
+            r"(.*?(?:projection|predictors\.(\d+)))\.projection\.(\d+)\.(.*)",
+            key,
+        )
+        if not m:
+            return key
+        base, pred_i, idx, rest = (
+            m.group(1), m.group(2), int(m.group(3)), m.group(4),
+        )
+        bn_on = f"{base}.projection.1.running_mean" in sd
+        stride = 3 if bn_on else 2
+        if idx % stride == 0:
+            sub = f"fc{idx // stride}"
+        elif bn_on and idx % stride == 1:
+            sub = f"bn{(idx + 2) // 3}"
+        else:  # ReLU — no params
+            return key
+        if pred_i is not None:
+            base = base.replace(f"predictors.{pred_i}", f"predictors_{pred_i}")
+        return f"{base}.{sub}.{rest}"
+
+    sd = {rename_mlp(k): v for k, v in sd.items()}
+
     def put(tree, path, leaf, value):
         node = tree
         for part in path:

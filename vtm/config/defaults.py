@@ -2,11 +2,13 @@
 
 Key names mirror the reference config system
 (slowfast/config/defaults.py + custom_config.py) so reference yaml
-configs and ``--opts`` overrides work unchanged; only the subset of
-keys exercised by the ToMe benchmark path is kept (legacy PySlowFast
-sections — MVIT, SLOWFAST, RESNET, AVA, DETECTION, MULTIGRID,
-CONTRASTIVE, … — are intentionally absent; yaml files mentioning them
-are accepted via ``merge_from_file(..., allow_new=True)`` and ignored).
+configs and ``--opts`` overrides work unchanged. All reference
+sections exercised by this framework are present — the ToMe path
+(TOME, TIMESFORMER, MOTIONFORMER, VIVIT, VIDEOMAE, …) plus the legacy
+PySlowFast sections (MVIT incl. REV, MASK, SLOWFAST, RESNET, X3D,
+NONLOCAL, BN, AVA, DETECTION, MULTIGRID, CONTRASTIVE). Unknown keys in
+yaml files are still accepted via ``merge_from_file(...,
+allow_new=True)`` and ignored.
 
 TPU-specific additions live under ``TPU.*``.
 """
@@ -57,6 +59,9 @@ def get_cfg() -> CfgNode:
     _C.DATA.STD = [0.225, 0.225, 0.225]
     _C.DATA.INPUT_CHANNEL_NUM = [3]
     _C.DATA.TRAIN_JITTER_SCALES = [256, 320]
+    # SSL multi-clip sampling (reference defaults.py DATA.TRAIN_CROP_NUM_*)
+    _C.DATA.TRAIN_CROP_NUM_TEMPORAL = 1
+    _C.DATA.TRAIN_CROP_NUM_SPATIAL = 1
     _C.DATA.TRAIN_JITTER_SCALES_RELATIVE = []
     _C.DATA.TRAIN_JITTER_ASPECT_RELATIVE = []
     _C.DATA.TRAIN_JITTER_MOTION_SHIFT = False
@@ -122,15 +127,31 @@ def get_cfg() -> CfgNode:
     _C.MODEL.DETACH_FINAL_FC = False
     _C.MODEL.ACT_CHECKPOINT = False  # JAX analog: jax.checkpoint remat
 
-    # minimal CONTRASTIVE keys read by the shared ResNet head
-    # (reference head_helper.py:134-151; the contrastive SSL task itself
-    # is out of scope, SURVEY §8)
+    # CONTRASTIVE SSL (reference defaults.py:19-88 + contrastive.py)
     _C.CONTRASTIVE = CfgNode()
+    _C.CONTRASTIVE.T = 0.07
+    _C.CONTRASTIVE.DIM = 128
+    _C.CONTRASTIVE.LENGTH = 239975
+    _C.CONTRASTIVE.QUEUE_LEN = 65536
+    _C.CONTRASTIVE.MOMENTUM = 0.5
+    _C.CONTRASTIVE.MOMENTUM_ANNEALING = False
+    _C.CONTRASTIVE.TYPE = "mem"
+    _C.CONTRASTIVE.INTERP_MEMORY = False
+    _C.CONTRASTIVE.MEM_TYPE = "1d"
+    _C.CONTRASTIVE.NUM_CLASSES_DOWNSTREAM = 400
     _C.CONTRASTIVE.NUM_MLP_LAYERS = 1
-    _C.CONTRASTIVE.MLP_DIM = 128
+    _C.CONTRASTIVE.MLP_DIM = 2048
     _C.CONTRASTIVE.BN_MLP = False
     _C.CONTRASTIVE.BN_SYNC_MLP = False
+    _C.CONTRASTIVE.LOCAL_SHUFFLE_BN = True
+    _C.CONTRASTIVE.MOCO_MULTI_VIEW_QUEUE = False
     _C.CONTRASTIVE.PREDICTOR_DEPTHS = []
+    _C.CONTRASTIVE.SEQUENTIAL = False
+    _C.CONTRASTIVE.SIMCLR_DIST_ON = True
+    _C.CONTRASTIVE.SWAV_QEUE_LEN = 0
+    _C.CONTRASTIVE.KNN_ON = True
+    _C.CONTRASTIVE.DELTA_CLIPS_MIN = -float("inf")
+    _C.CONTRASTIVE.DELTA_CLIPS_MAX = float("inf")
 
     # ------------------------------------------------- legacy conv families
     # (reference defaults.py RESNET/SLOWFAST/X3D/NONLOCAL/BN sections —

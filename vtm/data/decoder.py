@@ -214,3 +214,33 @@ def decode(
         frames.shape[0], clip_size, clip_idx, num_clips, use_offset=use_offset
     )
     return temporal_sampling(frames, start_idx, end_idx, num_frames)
+
+
+def decode_clips(
+    path: str,
+    sampling_rate: int,
+    num_frames: int,
+    num_decode: int,
+    target_fps: int = 30,
+    min_delta: float = -math.inf,
+    max_delta: float = math.inf,
+) -> Optional[list]:
+    """Decode ``num_decode`` random training clips of one video with the
+    reference's pairwise-gap-constrained sampling
+    (get_multiple_start_end_idx — the SSL multi-view path,
+    reference kinetics.py:256-311 + decoder.py:81-185).
+
+    Returns a list of [num_frames, H, W, 3] uint8 arrays or None.
+    """
+    frames, fps = read_video_cv2(path)
+    if frames is None:
+        return None
+    clip_size = sampling_rate * num_frames / target_fps * fps
+    windows = get_multiple_start_end_idx(
+        frames.shape[0], [clip_size] * num_decode, -1, 1,
+        min_delta=min_delta, max_delta=max_delta,
+    )
+    return [
+        temporal_sampling(frames, s, e, num_frames)
+        for s, e, _ in windows
+    ]

@@ -131,24 +131,50 @@ class Kinetics:
                 f"Failed to decode after {self._num_retries} retries"
             )
 
-        frames = transform.train_augment(cfg, frames, self.mode)
-        frames = transform.tensor_normalize(frames, cfg.DATA.MEAN, cfg.DATA.STD)
-        frames = transform.spatial_sampling(
-            frames,
-            spatial_idx=spatial_sample_index,
-            min_scale=min_scale,
-            max_scale=max_scale,
-            crop_size=crop_size,
-            random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
-            inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
-            **transform.relative_crop_args(cfg, self.mode),
-        )
-        frames = transform.train_random_erase(cfg, frames, self.mode)
-        frames = np.ascontiguousarray(frames, dtype=np.float32)
+        def finish(clip):
+            clip = transform.train_augment(cfg, clip, self.mode)
+            clip = transform.tensor_normalize(clip, cfg.DATA.MEAN, cfg.DATA.STD)
+            clip = transform.spatial_sampling(
+                clip,
+                spatial_idx=spatial_sample_index,
+                min_scale=min_scale,
+                max_scale=max_scale,
+                crop_size=crop_size,
+                random_horizontal_flip=cfg.DATA.RANDOM_FLIP,
+                inverse_uniform_sampling=cfg.DATA.INV_UNIFORM_SAMPLE,
+                **transform.relative_crop_args(cfg, self.mode),
+            )
+            clip = transform.train_random_erase(cfg, clip, self.mode)
+            return np.ascontiguousarray(clip, dtype=np.float32)
+
+        # SSL multi-view sampling (DATA.TRAIN_CROP_NUM_TEMPORAL x
+        # _SPATIAL independent views, reference kinetics.py:256-311)
+        n_temporal = cfg.DATA.TRAIN_CROP_NUM_TEMPORAL
+        n_spatial = cfg.DATA.TRAIN_CROP_NUM_SPATIAL
+        clips = None
+        if self.mode == "train" and n_temporal * n_spatial > 1:
+            raw = decoder.decode_clips(
+                self._path_to_videos[index],
+                cfg.DATA.SAMPLING_RATE,
+                cfg.DATA.NUM_FRAMES,
+                num_decode=n_temporal,
+                target_fps=cfg.DATA.TARGET_FPS,
+                min_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MIN,
+                max_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MAX,
+            )
+            if raw is not None:
+                # independent random augs per spatial view
+                clips = np.stack(
+                    [finish(c) for c in raw for _ in range(n_spatial)]
+                )
+
+        frames = finish(frames)
         label = self._labels[index]
         if cfg.DATA.DUMMY_LOAD and self._dummy_cache is None:
             self._dummy_cache = (frames, label)
         item = {"frames": frames, "label": label, "index": index}
+        if clips is not None:
+            item["clips"] = clips
         if cfg.AUG.GEN_MASK_LOADER:
             from vtm.data.masking import gen_mask
 

@@ -77,6 +77,18 @@ class Synthetic:
                 "metadata": {"narration_id": f"synthetic_{vid}"},
             }
         item = {"frames": frames, "label": vid % self.num_classes, "index": index}
+        n_ssl = (
+            cfg.DATA.TRAIN_CROP_NUM_TEMPORAL * cfg.DATA.TRAIN_CROP_NUM_SPATIAL
+        )
+        if self.mode == "train" and n_ssl > 1:
+            # SSL multi-view: n independent random clips of the video
+            item["clips"] = np.stack(
+                [frames]
+                + [
+                    rng.standard_normal(frames.shape).astype(np.float32)
+                    for _ in range(n_ssl - 1)
+                ]
+            )
         if cfg.AUG.GEN_MASK_LOADER:
             from vtm.data.masking import gen_mask
 

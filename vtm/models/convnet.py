@@ -627,10 +627,44 @@ class FuseFastToSlow(nn.Module):
 # heads (reference head_helper.py)
 
 
+class MLPHead(nn.Module):
+    """SSL projection/predictor MLP (reference head_helper.py:20-68):
+    Linear -> [BN] -> ReLU -> ... -> Linear. Biases are dropped on
+    BN-covered layers; the final Linear always honours ``bias``."""
+
+    dim_out: int
+    mlp_dim: int
+    num_layers: int
+    bn_on: bool = False
+    bias: bool = True
+    norm: NormSpec = NormSpec()
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b = self.bias if not self.bn_on else False
+        x = nn.Dense(
+            self.mlp_dim, use_bias=b, dtype=jnp.float32, name="fc0"
+        )(x)
+        for i in range(1, self.num_layers):
+            if self.bn_on:
+                x = BatchNorm(self.norm, name=f"bn{i}")(x, train=train)
+            x = nn.relu(x)
+            last = i == self.num_layers - 1
+            x = nn.Dense(
+                self.dim_out if last else self.mlp_dim,
+                use_bias=self.bias if last else b,
+                dtype=jnp.float32,
+                name=f"fc{i}",
+            )(x)
+        return x
+
+
 class ResNetBasicHead(nn.Module):
     """Per-pathway avg-pool, concat, dropout, linear projection; at eval
     the activation is applied and any remaining T,H,W extent averaged
-    (head_helper.py:71-238)."""
+    (head_helper.py:71-238). ``mlp_layers > 1`` swaps the projection
+    for an SSL MLPHead and ``predictor_depths`` appends BYOL-style
+    predictor MLPs — the head then returns [proj, *predictor_outs]."""
 
     num_classes: int
     pool_size: Optional[Tuple[Optional[Tuple[int, int, int]], ...]]  # None => global
@@ -639,6 +673,11 @@ class ResNetBasicHead(nn.Module):
     detach_final_fc: bool = False
     fc_init_std: float = 0.01
     num_pathways: int = 1
+    mlp_layers: int = 1
+    mlp_dim: int = 2048
+    mlp_bn: bool = False
+    predictor_depths: Tuple[int, ...] = ()
+    norm: NormSpec = NormSpec()
 
     @nn.compact
     def __call__(self, inputs: Sequence[jax.Array], train: bool = False):
@@ -655,23 +694,44 @@ class ResNetBasicHead(nn.Module):
             x = nn.Dropout(self.dropout_rate, deterministic=False)(x)
         if self.detach_final_fc:
             x = jax.lax.stop_gradient(x)
-        x = nn.Dense(
-            self.num_classes,
-            kernel_init=nn.initializers.normal(self.fc_init_std),
-            dtype=jnp.float32,
-            name="projection",
-        )(x)
+        if self.mlp_layers > 1:
+            # contrastive path flattens a [B,1,1,1,C] map to 2-D first
+            # (head_helper.py:202-206 ContrastiveModel quirk)
+            if x.shape[1:4] == (1, 1, 1):
+                x = x.reshape(x.shape[0], -1)
+            x = MLPHead(
+                self.num_classes, self.mlp_dim, self.mlp_layers,
+                bn_on=self.mlp_bn, norm=self.norm, name="projection",
+            )(x, train=train)
+        else:
+            x = nn.Dense(
+                self.num_classes,
+                kernel_init=nn.initializers.normal(self.fc_init_std),
+                dtype=jnp.float32,
+                name="projection",
+            )(x)
+        time_projs = [
+            MLPHead(
+                self.num_classes, self.mlp_dim, depth,
+                bn_on=self.mlp_bn, norm=self.norm, name=f"predictors_{i}",
+            )(x, train=train)
+            for i, depth in enumerate(self.predictor_depths)
+        ]
         if not train:
             if self.act_func == "softmax":
-                x = jax.nn.softmax(x, axis=4)
+                x = jax.nn.softmax(x, axis=-1 if x.ndim == 2 else 4)
             elif self.act_func == "sigmoid":
                 x = jax.nn.sigmoid(x)
             elif self.act_func != "none":
                 raise NotImplementedError(
                     f"{self.act_func} is not supported as an activation function."
                 )
-            x = x.mean(axis=(1, 2, 3))
-        return x.reshape(x.shape[0], -1)
+            if x.ndim > 2:
+                x = x.mean(axis=(1, 2, 3))
+        x = x.reshape(x.shape[0], -1)
+        if time_projs:
+            return [x] + [t.reshape(t.shape[0], -1) for t in time_projs]
+        return x
 
 
 class X3DHead(nn.Module):

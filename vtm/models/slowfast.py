@@ -112,6 +112,11 @@ class ConvNetSpec:
     roi_resolution: int = 7
     roi_scale_factor: int = 16
     roi_aligned: bool = True
+    # SSL head (CONTRASTIVE.*, reference head_helper.py:134-182)
+    mlp_layers: int = 1
+    mlp_dim: int = 2048
+    mlp_bn: bool = False
+    predictor_depths: Tuple[int, ...] = ()
 
 
 def spec_from_cfg(cfg) -> ConvNetSpec:
@@ -152,6 +157,10 @@ def spec_from_cfg(cfg) -> ConvNetSpec:
         roi_resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
         roi_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
         roi_aligned=cfg.DETECTION.ALIGNED,
+        mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
+        mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+        mlp_bn=cfg.CONTRASTIVE.BN_MLP,
+        predictor_depths=_t(cfg.CONTRASTIVE.PREDICTOR_DEPTHS),
     )
 
 
@@ -321,6 +330,11 @@ class SlowFastModel(nn.Module):
             detach_final_fc=s.detach_final_fc,
             fc_init_std=s.fc_init_std,
             num_pathways=2,
+            mlp_layers=s.mlp_layers,
+            mlp_dim=s.mlp_dim,
+            mlp_bn=s.mlp_bn,
+            predictor_depths=s.predictor_depths,
+            norm=s.norm,
             name="head",
         )(xs, train=train)
         return logits, state
@@ -420,6 +434,11 @@ class ResNetModel(nn.Module):
             detach_final_fc=s.detach_final_fc,
             fc_init_std=s.fc_init_std,
             num_pathways=1,
+            mlp_layers=s.mlp_layers,
+            mlp_dim=s.mlp_dim,
+            mlp_bn=s.mlp_bn,
+            predictor_depths=s.predictor_depths,
+            norm=s.norm,
             name="head",
         )(xs, train=train)
         return logits, state

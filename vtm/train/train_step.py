@@ -308,3 +308,60 @@ def make_maskfeat_train_step(module, tx):
         return new_params, new_opt_state, loss, multi
 
     return jax.jit(step)
+
+
+def make_contrastive_train_step(model, tx, has_batch_stats: bool = False):
+    """SSL train step for the functional ContrastiveModel
+    (vtm/models/contrastive.py). ``all_params`` = {'backbone': ...,
+    ['swav_prototypes': ...]}; the SwAV prototype weight is re-normalised
+    BEFORE the forward outside the grad tape — the reference's no-grad
+    in-place weight copy (contrastive.py:617-621) — and its gradients
+    are gated off during the first epoch (contrastive_parameter_surgery).
+    ``update_param=False`` (moco queue warm-up iterations,
+    contrastive.py:1092-1110) skips the optimizer entirely while the
+    queue/state still advance."""
+    from vtm.models.contrastive import (
+        normalize_swav_prototypes,
+        swav_protos_grad_gate,
+    )
+
+    def step(all_params, bn, state, opt_state, clips, index, epoch_exact,
+             rng, update_param: bool = True):
+        if "swav_prototypes" in all_params:
+            all_params = dict(all_params)
+            all_params["swav_prototypes"] = normalize_swav_prototypes(
+                jax.tree.map(jax.lax.stop_gradient,
+                             all_params["swav_prototypes"])
+            )
+
+        def loss_fn(ap):
+            logits, loss, aux = model.forward_train(
+                ap["backbone"], bn, state, clips, index,
+                epoch_exact=epoch_exact, rng=rng,
+                proto_params=ap.get("swav_prototypes"),
+            )
+            return loss, (logits, aux)
+
+        (loss, (logits, aux)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(all_params)
+        if "swav_prototypes" in grads:
+            grads = dict(grads)
+            grads["swav_prototypes"] = swav_protos_grad_gate(
+                grads["swav_prototypes"], epoch_exact
+            )
+        if update_param:
+            updates, new_opt_state = tx.update(grads, opt_state, all_params)
+            new_params = optax.apply_updates(all_params, updates)
+        else:
+            new_params, new_opt_state = all_params, opt_state
+        return (
+            new_params,
+            aux["new_bn"],
+            aux["new_state"],
+            new_opt_state,
+            loss,
+            logits,
+        )
+
+    return jax.jit(step, static_argnames=("update_param",))

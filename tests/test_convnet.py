@@ -25,7 +25,10 @@ def _install_native_stubs():
     def mod(name):
         m = sys.modules.get(name)
         if m is None:
+            import importlib.machinery
+
             m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
             sys.modules[name] = m
         return m
 
@@ -128,6 +131,42 @@ def _install_native_stubs():
             return loss.mean() if self.reduction == "mean" else loss
 
     stce.SoftTargetCrossEntropyLoss = SoftTargetCrossEntropyLoss
+
+    # ---- timm (numeric subset used by motionformer/videomae builders)
+    timm = mod("timm"); tmm = mod("timm.models"); tml = mod("timm.models.layers")
+    tmd = mod("timm.data"); tmr = mod("timm.models.registry")
+    tms = mod("timm.models.resnet")
+    timm.models = tmm; timm.data = tmd
+    tmm.layers = tml; tmm.registry = tmr; tmm.resnet = tms
+
+    def drop_path(x, drop_prob=0.0, training=False):
+        if drop_prob == 0.0 or not training:
+            return x
+        keep = 1 - drop_prob
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = keep + torch.rand(shape, dtype=x.dtype, device=x.device)
+        mask.floor_()
+        return x.div(keep) * mask
+
+    class DropPath(tnn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob or 0.0
+
+        def forward(self, x):
+            return drop_path(x, self.drop_prob, self.training)
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    tml.DropPath = DropPath
+    tml.drop_path = drop_path
+    tml.to_2tuple = to_2tuple
+    tml.trunc_normal_ = tnn.init.trunc_normal_
+    tmd.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    tmd.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    tmr.register_model = lambda fn=None: (fn if fn is not None else (lambda f: f))
+    tms.resnet26d = tms.resnet50d = lambda *a, **k: None
 
     # ---- iopath
     iop = mod("iopath"); ioc = mod("iopath.common"); iof = mod("iopath.common.file_io")

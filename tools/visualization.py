@@ -56,10 +56,21 @@ def run_visualization(cfg):
         log_model_weights(bundle, writer)
 
     loader = construct_loader(cfg, "test")
-    cam = None
+    cams = []
     if mv.GRAD_CAM.ENABLE:
-        layer = (mv.GRAD_CAM.LAYER_LIST or [None])[0]
-        cam = GradCAM(bundle, target_layer=layer, colormap=mv.GRAD_CAM.COLORMAP)
+        # EVERY entry of GRAD_CAM.LAYER_LIST gets its own overlay pass
+        # (reference tools/visualization.py iterates layer_ls)
+        for layer in mv.GRAD_CAM.LAYER_LIST or [None]:
+            cams.append(
+                (layer, GradCAM(bundle, target_layer=layer,
+                                colormap=mv.GRAD_CAM.COLORMAP))
+            )
+
+    act_layers, act_indexing = [], {}
+    if mv.ACTIVATIONS:
+        from vtm.vis.activations import process_layer_index_data
+
+        act_layers, act_indexing = process_layer_index_data(mv.LAYER_LIST)
 
     wrong_tag = cfg.TENSORBOARD.WRONG_PRED_VIS.TAG
     for bi, batch in enumerate(loader):
@@ -68,19 +79,42 @@ def run_visualization(cfg):
         frames = np.asarray(batch["frames"])
         if mv.INPUT_VIDEO:
             writer.add_video(_to01(frames), tag="Video Input", global_step=bi)
-        if cam is not None:
+        preds = None
+        for layer, cam in cams:
             maps, preds = cam.localization_map(jnp.asarray(frames))
             overlays = np.stack(
                 [cam.overlay(_to01(frames[i]), maps[i]) for i in range(len(frames))]
             )
+            tag = "GradCAM" if layer is None else f"GradCAM/{layer}"
             writer.add_video(
-                overlays.astype(np.float32) / 255.0, tag="GradCAM", global_step=bi
+                overlays.astype(np.float32) / 255.0, tag=tag, global_step=bi
             )
-        else:
+        if mv.ACTIVATIONS:
+            # reference GetWeightAndActivation path (MODEL_VIS.ACTIVATIONS)
+            from vtm.vis.activations import get_activations
+
+            acts, preds = get_activations(
+                bundle, frames, act_layers, indexing=act_indexing
+            )
+            for name, arr in acts.items():
+                writer.writer.add_histogram(
+                    f"activations/{name}", np.asarray(arr), global_step=bi
+                )
+        if preds is None:
             logits, _ = bundle.module.apply(
                 {"params": bundle.params}, jnp.asarray(frames)
             )
             preds = np.asarray(logits if not isinstance(logits, tuple) else logits[0])
+        if mv.TOPK_PREDS:
+            from vtm.vis.activations import plot_topk_histogram
+
+            for i in range(len(preds)):
+                fig = plot_topk_histogram(
+                    "Top-k predictions", preds[i], k=min(mv.TOPK_PREDS, preds.shape[-1])
+                )
+                writer.writer.add_figure(
+                    f"topk_preds/batch{bi}", fig, global_step=i
+                )
         if cfg.TENSORBOARD.WRONG_PRED_VIS.ENABLE and not isinstance(
             batch["label"], dict
         ):

@@ -457,6 +457,14 @@ def get_cfg() -> CfgNode:
     _C.DEMO.THREAD_ENABLE = False
     _C.DEMO.NUM_CLIPS_SKIP = 0
     _C.DEMO.VIS_TOPK = 3
+    # AVA precomputed-box demo (reference defaults.py:1212-1254)
+    _C.DEMO.CLIP_VIS_SIZE = 10
+    _C.DEMO.PREDS_BOXES = ""
+    _C.DEMO.GT_BOXES = ""
+    _C.DEMO.STARTING_SECOND = 900
+    _C.DEMO.FPS = 30
+    _C.DEMO.VIS_MODE = "thres"
+    _C.DEMO.COMMON_CLASS_THRES = 0.7
 
     # -------------------------------------------------------------------- AUG
     _C.AUG = CfgNode()

@@ -1,0 +1,131 @@
+"""Asynchronous multiprocess visualization pipeline for the demo.
+
+Functional parity target: slowfast/visualization/async_predictor.py
+(AsyncVis:16-121, _StopToken:123-124, draw_predictions:127-170).
+
+The reference's AsyncPredictor (multiprocess GPU inference workers) is
+absent from the fork (predictor.py is stripped to imports); inference
+here stays in-process (one JAX client per process is the TPU-correct
+topology anyway) while DRAWING — the host-side CPU work — fans out to
+worker processes exactly like the reference's AsyncVis.
+"""
+
+from __future__ import annotations
+
+import atexit
+import multiprocessing as mp
+from typing import Optional
+
+import numpy as np
+
+from vtm.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
+
+class _StopToken:
+    pass
+
+
+def draw_predictions(task, video_vis):
+    """Annotate a task's frames (reference async_predictor.py:127-170):
+    buffer frames pass through untouched; the clip range around the
+    keyframe is drawn with boxes/labels."""
+    boxes = getattr(task, "bboxes", None)
+    frames = list(task.frames)
+    preds = np.asarray(task.action_preds)
+    keyframe_idx = len(frames) // 2 - task.num_buffer_frames
+    draw_range = [
+        keyframe_idx - task.clip_vis_size,
+        keyframe_idx + task.clip_vis_size,
+    ]
+    buffer = frames[: task.num_buffer_frames]
+    frames = frames[task.num_buffer_frames :]
+    if boxes is not None and len(boxes):
+        frames = video_vis.draw_clip_range(
+            frames, preds, bboxes=np.asarray(boxes),
+            keyframe_idx=keyframe_idx, draw_range=draw_range,
+        )
+    else:
+        frames = video_vis.draw_clip_range(
+            frames, preds, keyframe_idx=keyframe_idx, draw_range=draw_range,
+        )
+    return buffer + list(frames)
+
+
+class AsyncVis:
+    """Fan drawing work out to ``n_workers`` processes; results are
+    re-ordered by task id on get() (reference AsyncVis semantics:
+    get() raises IndexError while the next id is still pending)."""
+
+    class _VisWorker(mp.Process):
+        def __init__(self, video_vis, task_queue, result_queue):
+            self.video_vis = video_vis
+            self.task_queue = task_queue
+            self.result_queue = result_queue
+            super().__init__(daemon=True)
+
+        def run(self):
+            while True:
+                task = self.task_queue.get()
+                if isinstance(task, _StopToken):
+                    break
+                frames = draw_predictions(task, self.video_vis)
+                task.frames = np.array(frames)
+                self.result_queue.put(task)
+
+    def __init__(self, video_vis, n_workers: Optional[int] = None):
+        num_workers = n_workers if n_workers is not None else mp.cpu_count()
+        self.task_queue = mp.Queue()
+        self.result_queue = mp.Queue()
+        self.get_indices_ls = []
+        self.procs = []
+        self.result_data = {}
+        self.put_id = -1
+        self.get_id = -1
+        for _ in range(max(num_workers, 1)):
+            self.procs.append(
+                AsyncVis._VisWorker(
+                    video_vis, self.task_queue, self.result_queue
+                )
+            )
+        for p in self.procs:
+            p.start()
+        atexit.register(self.shutdown)
+
+    def put(self, task):
+        self.put_id += 1
+        self.task_queue.put(task)
+
+    def get(self):
+        """Return the task with the next sequential id; IndexError if
+        it has not been drawn yet (reference :83-101)."""
+        get_idx = self.get_id + 1
+        if self.result_data.get(get_idx) is not None:
+            res = self.result_data[get_idx]
+            del self.result_data[get_idx]
+            self.get_id = get_idx
+            return res
+        while not self.result_queue.empty():
+            res = self.result_queue.get()
+            idx = res.id
+            if idx == get_idx:
+                self.get_id = get_idx
+                return res
+            self.result_data[idx] = res
+        raise IndexError("Results are not available yet.")
+
+    def __call__(self, task):
+        self.put(task)
+
+    def shutdown(self):
+        for _ in self.procs:
+            self.task_queue.put(_StopToken())
+
+    @property
+    def result_available(self) -> bool:
+        return self.result_queue.qsize() > 0 or len(self.result_data) > 0
+
+    @property
+    def default_buffer_size(self) -> int:
+        return len(self.procs) * 2

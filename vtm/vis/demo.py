@@ -24,12 +24,31 @@ logger = get_logger(__name__)
 
 
 class TaskInfo:
-    """One clip worth of work (reference utils.TaskInfo)."""
+    """One clip worth of work (reference utils.TaskInfo:383-415)."""
 
     def __init__(self, task_id: int, frames: List[np.ndarray]):
         self.id = task_id
         self.frames = frames  # raw BGR uint8 frames
         self.preds: Optional[np.ndarray] = None
+        # async/demo pipeline fields (reference TaskInfo attributes)
+        self.bboxes = None
+        self.action_preds: Optional[np.ndarray] = None
+        self.num_buffer_frames = 0
+        self.img_height = 0
+        self.img_width = 0
+        self.crop_size = 0
+        self.clip_vis_size = len(frames)
+
+    def add_frames(self, idx, frames):
+        """reference utils.py:395-403."""
+        self.frames = frames
+        self.id = idx
+
+    def add_bboxes(self, bboxes):
+        self.bboxes = bboxes
+
+    def add_action_preds(self, preds):
+        self.action_preds = preds
 
 
 class VideoManager:

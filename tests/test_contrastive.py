@@ -411,3 +411,41 @@ def test_ssl_train_loop_e2e(tmp_path):
     assert any("checkpoint" in f for f in os.listdir(tmp_path)), (
         os.listdir(tmp_path)
     )
+
+
+def test_contrastive_mvit_backbone():
+    """The 'mvit' arch from the reference's _MODEL_TYPES: MViT backbone
+    with the TransformerBasicHead MLP projection (simclr branch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vtm.models.contrastive import build_contrastive_model
+
+    cfg = _ssl_cfg(
+        "simclr",
+        **{
+            "MODEL.ARCH": "mvit",
+            "CONTRASTIVE.NUM_MLP_LAYERS": 2,
+            "CONTRASTIVE.MLP_DIM": 16,
+        },
+    )
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.NUM_HEADS = 2
+    cfg.MVIT.DEPTH = 2
+    cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.DATA.NUM_FRAMES = 4
+    model, bundle = build_contrastive_model(cfg, init=False)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 4, 32, 32, 3)),
+        jnp.float32,
+    )
+    params = bundle.module.init(jax.random.key(0), x)["params"]
+    assert "fc0" in params["head"], list(params["head"])
+    state = model.init_state(params, None, jax.random.key(1))
+    clips = [[x], [x[:, ::-1]]]
+    _, loss, aux = model.forward_train(
+        params, None, state, clips, jnp.asarray([0, 1])
+    )
+    assert np.isfinite(float(loss))

@@ -465,6 +465,33 @@ class MultiScaleBlock(nn.Module):
 # --------------------------------------------------------------- model
 
 
+def _mvit_head(x, s, train: bool):
+    """Classification head: Dense, or the SSL MLP projection when
+    CONTRASTIVE.NUM_MLP_LAYERS > 1 (reference TransformerBasicHead,
+    head_helper.py:399-414)."""
+    if s.mlp_layers > 1:
+        from vtm.models.convnet import MLPHead
+
+        logits = MLPHead(
+            s.num_classes, s.mlp_dim, s.mlp_layers, bn_on=s.mlp_bn,
+            name="head",
+        )(x, train=train)
+    else:
+        logits = nn.Dense(
+            s.num_classes,
+            dtype=jnp.float32,
+            kernel_init=trunc02,
+            bias_init=nn.initializers.constant(0.02),
+            name="head",
+        )(x)
+    if not train:
+        if s.head_act == "softmax":
+            logits = jax.nn.softmax(logits, axis=-1)
+        elif s.head_act == "sigmoid":
+            logits = jax.nn.sigmoid(logits)
+    return logits
+
+
 @dataclasses.dataclass(frozen=True)
 class MViTSpec:
     """Static arch parameters (cfg.MVIT.* + input geometry)."""
@@ -519,6 +546,11 @@ class MViTSpec:
     roi_resolution: int = 7
     roi_scale_factor: int = 16
     roi_aligned: bool = True
+    # SSL projection head (TransformerBasicHead MLP path,
+    # head_helper.py:399-414 — the contrastive 'mvit' arch)
+    mlp_layers: int = 1
+    mlp_dim: int = 2048
+    mlp_bn: bool = False
 
     @property
     def patch_dims(self) -> Tuple[int, int, int]:
@@ -731,6 +763,9 @@ def mvit_spec_from_cfg(cfg) -> MViTSpec:
         roi_resolution=cfg.DETECTION.ROI_XFORM_RESOLUTION,
         roi_scale_factor=cfg.DETECTION.SPATIAL_SCALE_FACTOR,
         roi_aligned=cfg.DETECTION.ALIGNED,
+        mlp_layers=cfg.CONTRASTIVE.NUM_MLP_LAYERS,
+        mlp_dim=cfg.CONTRASTIVE.MLP_DIM,
+        mlp_bn=cfg.CONTRASTIVE.BN_MLP,
     )
 
 
@@ -869,19 +904,7 @@ class MViTModel(nn.Module):
                 x = x.mean(axis=1)
             if train and s.dropout_rate > 0.0:
                 x = nn.Dropout(s.dropout_rate, deterministic=False)(x)
-            logits = nn.Dense(
-                s.num_classes,
-                dtype=jnp.float32,
-                kernel_init=trunc02,
-                bias_init=nn.initializers.constant(0.02),
-                name="head",
-            )(x)
-            if not train:
-                if s.head_act == "softmax":
-                    logits = jax.nn.softmax(logits, axis=-1)
-                elif s.head_act == "sigmoid":
-                    logits = jax.nn.sigmoid(logits)
-            return logits, state
+            return _mvit_head(x, s, train), state
 
         plan = s.block_plan()
         dpr = np.linspace(0, s.droppath_rate, s.depth)
@@ -952,19 +975,7 @@ class MViTModel(nn.Module):
 
         if train and s.dropout_rate > 0.0:
             x = nn.Dropout(s.dropout_rate, deterministic=False)(x)
-        logits = nn.Dense(
-            s.num_classes,
-            dtype=jnp.float32,
-            kernel_init=trunc02,
-            bias_init=nn.initializers.constant(0.02),
-            name="head",
-        )(x)
-        if not train:
-            if s.head_act == "softmax":
-                logits = jax.nn.softmax(logits, axis=-1)
-            elif s.head_act == "sigmoid":
-                logits = jax.nn.sigmoid(logits)
-        return logits, state
+        return _mvit_head(x, s, train), state
 
 
 from vtm.models.build import ModelBundle, compute_dtype, register_model  # noqa: E402

@@ -79,12 +79,14 @@ def peak_matmul_tflops(rtt: float) -> float:
     return 2 * 4096**3 * iters / secs / 1e12
 
 
-def _probe_device(timeout_s: int = 120, attempts: int = 3) -> None:
-    """Fail fast (exit 3) if the TPU lease is wedged — a killed process
-    with dispatched-but-unfetched remote work can hang every subsequent
-    fetch for hours (see CLAUDE.md), and a hung benchmark is worse than
-    a clean failure. The lease also FLAPS while recovering, so probe a
-    few times before giving up."""
+def _probe_device(timeout_s: int = 120, attempts: int = 8) -> None:
+    """Fail (exit 3) only after ~30 min of patience if the TPU lease is
+    wedged — a killed process with dispatched-but-unfetched remote work
+    can hang every subsequent fetch (see CLAUDE.md), but the lease
+    RECOVERS on its own (observed tens of minutes) and FLAPS while
+    doing so. A benchmark that waits out the recovery and produces a
+    number beats a fast clean failure (the round-2 contract artifact
+    was lost to exactly this)."""
     import subprocess
     import time as _time
 
@@ -109,8 +111,9 @@ def _probe_device(timeout_s: int = 120, attempts: int = 3) -> None:
                 f"bench.py: device probe {attempt + 1}/{attempts} timed "
                 f"out after {timeout_s}s\n"
             )
+            sys.stderr.flush()
         if attempt + 1 < attempts:
-            _time.sleep(60)
+            _time.sleep(min(60 * (attempt + 1), 240))
     sys.stderr.write(
         "bench.py: the TPU lease appears wedged (stale dispatched work "
         "from a killed process); retry once it clears.\n"

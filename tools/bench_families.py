@@ -106,6 +106,11 @@ def program_flops(module, params, x) -> float:
 
 
 def main():
+    # lease-health probe with recovery patience (see bench.py)
+    sys.path.insert(0, str(REPO))
+    from bench import _probe_device
+
+    _probe_device()
     iters = int(os.environ.get("VTM_BENCH_ITERS", "20"))
     batch = int(os.environ.get("VTM_BENCH_BATCH", "8"))
     families = os.environ.get(

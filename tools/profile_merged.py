@@ -59,6 +59,11 @@ def block_flops(n: int, c: int = 768, mlp: int = 3072, r: int = 0) -> float:
 
 
 def main():
+    # lease-health probe with recovery patience (see bench.py)
+    sys.path.insert(0, str(REPO))
+    from bench import _probe_device
+
+    _probe_device()
     batch = 8
     r = 150
     iters = 20

@@ -337,3 +337,62 @@ def test_decode_corrupt_file_returns_none(tmp_path):
     with open(path, "wb") as f:
         f.write(b"\x00" * 512)
     assert decoder.decode(path, 4, 8, clip_idx=0, num_clips=3) is None
+
+
+def test_kinetics_ssl_multiclip(tmp_path):
+    """DATA.TRAIN_CROP_NUM_TEMPORAL > 1: the item carries a stacked
+    'clips' key of independently-sampled views (reference SSL path,
+    kinetics.py:256-311)."""
+    import cv2
+
+    vid_path = tmp_path / "v0.avi"
+    w = cv2.VideoWriter(
+        str(vid_path), cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48)
+    )
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        w.write(rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8))
+    w.release()
+    (tmp_path / "train.csv").write_text(f"{vid_path} 1\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [32, 40]
+    cfg.DATA.TRAIN_CROP_NUM_TEMPORAL = 2
+    cfg.DATA.TRAIN_CROP_NUM_SPATIAL = 2
+    from vtm.data.kinetics import Kinetics
+
+    ds = Kinetics(cfg, "train")
+    item = ds[0]
+    assert item["clips"].shape == (4, 4, 32, 32, 3)  # 2x2 views
+    # independent augmentation: views differ
+    assert not np.allclose(item["clips"][0], item["clips"][1])
+    assert item["frames"].shape == (4, 32, 32, 3)
+
+
+def test_decode_clips_gap_constraints(tmp_path):
+    """decode_clips honours min/max gap constraints between the
+    sampled windows (get_multiple_start_end_idx)."""
+    import cv2
+
+    from vtm.data import decoder
+
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+    rng = np.random.default_rng(1)
+    for _ in range(90):
+        w.write(rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8))
+    w.release()
+
+    import random
+
+    random.seed(0)
+    clips = decoder.decode_clips(
+        path, sampling_rate=2, num_frames=4, num_decode=3
+    )
+    assert clips is not None and len(clips) == 3
+    for c in clips:
+        assert c.shape == (4, 32, 32, 3)

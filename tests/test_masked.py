@@ -56,7 +56,7 @@ def test_maskfeat_forward_matches_reference(ref_masked):
     import jax
     import jax.numpy as jnp
 
-    from vtm.checkpoints.convert import convert_mvit, _dense, _layernorm
+    from vtm.checkpoints.convert import convert_maskmvit
     from vtm.models.build import build_model
 
     cfg = _mask_cfg()
@@ -72,14 +72,9 @@ def test_maskfeat_forward_matches_reference(ref_masked):
         )
 
     bundle = build_model(cfg, init=False)
-    sd = ref.state_dict()
-    params = convert_mvit(sd, depth=max(cfg.MASK.PRETRAIN_DEPTH) + 1)
-    # prediction head: transforms are [LayerNorm] (DECODER_DEPTH 0)
-    head = {}
-    for i in range(len(cfg.MASK.PRETRAIN_DEPTH)):
-        head[f"transform_norm_{i}"] = _layernorm(sd, f"pred_head.transforms.{i}.0")
-        head[f"projections_{i}"] = _dense(sd, f"pred_head.projections.{i}")
-    params["pred_head"] = head
+    params = convert_maskmvit(
+        ref.state_dict(), depth=max(cfg.MASK.PRETRAIN_DEPTH) + 1
+    )
 
     xs = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 4, 1)))
     init_params = bundle.module.init(
@@ -206,7 +201,7 @@ def test_mae_forward_matches_reference(ref_masked):
     import jax
     import jax.numpy as jnp
 
-    from vtm.checkpoints.convert import convert_mvit, _dense, _layernorm
+    from vtm.checkpoints.convert import convert_maskmvit
     from vtm.models.build import build_model
 
     cfg = _mae_cfg()
@@ -236,13 +231,9 @@ def test_mae_forward_matches_reference(ref_masked):
         torch.argsort = orig_argsort
 
     bundle = build_model(cfg, init=False)
-    sd = ref.state_dict()
-    params = convert_mvit(sd, depth=max(cfg.MASK.PRETRAIN_DEPTH) + 1)
-    head = {}
-    for i in range(len(cfg.MASK.PRETRAIN_DEPTH)):
-        head[f"transform_norm_{i}"] = _layernorm(sd, f"pred_head.transforms.{i}.0")
-        head[f"projections_{i}"] = _dense(sd, f"pred_head.projections.{i}")
-    params["pred_head"] = head
+    params = convert_maskmvit(
+        ref.state_dict(), depth=max(cfg.MASK.PRETRAIN_DEPTH) + 1
+    )
 
     xs = jnp.asarray(np.transpose(x.numpy(), (0, 2, 3, 4, 1)))
     init_params = bundle.module.init(

@@ -190,6 +190,8 @@ def load_test_checkpoint(cfg, bundle):
         converted = convert.convert_motionformer(sd, depth=bundle.config.depth)
     elif bundle.name == "MViT":
         converted = convert.convert_mvit(sd, depth=bundle.config.depth)
+    elif bundle.name == "MaskMViT":
+        converted = convert.convert_maskmvit(sd, depth=bundle.config.depth)
     elif bundle.name in ("SlowFast", "ResNet", "X3D"):
         converted, stats = convert.convert_pyslowfast(
             sd, num_splits=bundle.config.norm.num_splits

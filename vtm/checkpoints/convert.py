@@ -510,22 +510,7 @@ def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
         pre = f"blocks.{i}"
         if f"{pre}.norm1.weight" not in sd:
             continue  # REV checkpoints have no plain blocks
-        attn = _mvit_attn(sd, pre)
-        blk = {
-            "norm1": _layernorm(sd, f"{pre}.norm1"),
-            "norm2": _layernorm(sd, f"{pre}.norm2"),
-            "attn": attn,
-            "mlp": {
-                "fc1": _dense(sd, f"{pre}.mlp.fc1"),
-                "fc2": _dense(sd, f"{pre}.mlp.fc2"),
-            },
-        }
-        if f"{pre}.proj.weight" in sd:
-            blk["proj"] = _dense(sd, f"{pre}.proj")
-        for g in ("gamma_1", "gamma_2"):
-            if f"{pre}.{g}" in sd:
-                blk[g] = sd[f"{pre}.{g}"]
-        params[f"blocks_{i}"] = blk
+        params[f"blocks_{i}"] = _mvit_block(sd, pre)
 
     # ---- reversible encoder layout (MVIT.REV,
     # reference reversible_mvit.py: rev_backbone.layers.{i}.{F,G,res_proj})
@@ -574,6 +559,52 @@ def convert_mvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
 
     if "head.projection.weight" in sd:
         params["head"] = _dense(sd, "head.projection")
+    return params
+
+
+def _mvit_block(sd: Mapping[str, np.ndarray], pre: str) -> dict:
+    """One MultiScaleBlock's weights under ``pre`` -> flax subtree."""
+    blk = {
+        "norm1": _layernorm(sd, f"{pre}.norm1"),
+        "norm2": _layernorm(sd, f"{pre}.norm2"),
+        "attn": _mvit_attn(sd, pre),
+        "mlp": {
+            "fc1": _dense(sd, f"{pre}.mlp.fc1"),
+            "fc2": _dense(sd, f"{pre}.mlp.fc2"),
+        },
+    }
+    if f"{pre}.proj.weight" in sd:
+        blk["proj"] = _dense(sd, f"{pre}.proj")
+    for g in ("gamma_1", "gamma_2"):
+        if f"{pre}.{g}" in sd:
+            blk[g] = sd[f"{pre}.{g}"]
+    return blk
+
+
+def convert_maskmvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
+    """MaskMViT / MAE state dict -> vtm params: the MViT trunk via
+    :func:`convert_mvit` plus the MSSeparateHead layout
+    (pred_head.transforms.{i}.{j} Sequential -> transforms_{i}_{j}
+    blocks + transform_norm_{i} + projections_{i};
+    reference head_helper.py:449-560)."""
+    sd = dict(strip_prefixes({k: _np(v) for k, v in sd.items()}))
+    params = convert_mvit(sd, depth)
+    head: dict = {}
+    i = 0
+    while f"pred_head.projections.{i}.weight" in sd:
+        j = 0
+        while f"pred_head.transforms.{i}.{j}.norm1.weight" in sd:
+            head[f"transforms_{i}_{j}"] = _mvit_block(
+                sd, f"pred_head.transforms.{i}.{j}"
+            )
+            j += 1
+        head[f"transform_norm_{i}"] = _layernorm(
+            sd, f"pred_head.transforms.{i}.{j}"
+        )
+        head[f"projections_{i}"] = _dense(sd, f"pred_head.projections.{i}")
+        i += 1
+    if head:
+        params["pred_head"] = head
     return params
 
 

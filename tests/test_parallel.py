@@ -157,3 +157,31 @@ print('dp-parity ok')
 """
     out = run_in_cpu_mesh(script)
     assert "dp-parity ok" in out
+
+
+def test_init_distributed_topology():
+    """NUM_SHARDS==1 is a no-op; >1 maps the reference's tcp://
+    init_method onto jax.distributed.initialize."""
+    import jax
+
+    from vtm.config import get_cfg
+    from vtm.parallel.mesh import init_distributed
+
+    cfg = get_cfg()
+    init_distributed(cfg)  # no-op, must not raise
+
+    calls = {}
+    orig = jax.distributed.initialize
+    jax.distributed.initialize = lambda **kw: calls.update(kw)
+    try:
+        cfg.NUM_SHARDS = 4
+        cfg.SHARD_ID = 2
+        cfg.INIT_METHOD = "tcp://host0:1234"
+        init_distributed(cfg)
+    finally:
+        jax.distributed.initialize = orig
+    assert calls == {
+        "coordinator_address": "host0:1234",
+        "num_processes": 4,
+        "process_id": 2,
+    }

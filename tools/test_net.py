@@ -104,6 +104,9 @@ def perform_detection_test(loader, eval_step, params, meter, cfg):
 
 def test(cfg):
     setup_environment()
+    from vtm.parallel.mesh import init_distributed
+
+    init_distributed(cfg)
     setup_logging(cfg.OUTPUT_DIR)
     np.random.seed(cfg.RNG_SEED)
 

@@ -239,6 +239,9 @@ def train_contrastive(cfg):
     from vtm.train.train_step import make_contrastive_train_step
 
     setup_environment()
+    from vtm.parallel.mesh import init_distributed
+
+    init_distributed(cfg)
     setup_logging(cfg.OUTPUT_DIR)
     np.random.seed(cfg.RNG_SEED)
     logger.info("SSL train with config:\n%s", cfg.dump())
@@ -351,6 +354,9 @@ def train(cfg):
     if cfg.MODEL.MODEL_NAME == "ContrastiveModel":
         return train_contrastive(cfg)
     setup_environment()
+    from vtm.parallel.mesh import init_distributed
+
+    init_distributed(cfg)
     setup_logging(cfg.OUTPUT_DIR)
     np.random.seed(cfg.RNG_SEED)
     logger.info("Train with config:\n%s", cfg.dump())

@@ -501,6 +501,8 @@ def get_cfg() -> CfgNode:
     _C.NUM_GPUS = 1  # reference name; interpreted as "number of devices"
     _C.NUM_SHARDS = 1
     _C.SHARD_ID = 0
+    # multi-host coordinator (reference --init_method tcp://...)
+    _C.INIT_METHOD = ""
     _C.OUTPUT_DIR = "."
     _C.RNG_SEED = 1
     _C.LOG_PERIOD = 10

@@ -22,7 +22,8 @@ def parse_args(argv=None):
         "--init_method",
         type=str,
         default="",
-        help="unused on TPU (single-controller JAX); kept for CLI parity",
+        help="multi-host coordinator address (tcp://host:port) -> "
+             "jax.distributed.initialize (vtm/parallel/mesh.py)",
     )
     parser.add_argument(
         "--cfg",
@@ -56,4 +57,6 @@ def load_config(args, path_to_config: str | None = None):
     if hasattr(args, "num_shards") and hasattr(args, "shard_id"):
         cfg.NUM_SHARDS = args.num_shards
         cfg.SHARD_ID = args.shard_id
+    if getattr(args, "init_method", ""):
+        cfg.INIT_METHOD = args.init_method
     return cfg

@@ -25,6 +25,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(cfg) -> None:
+    """Multi-host bring-up: map the reference's launch topology
+    (``--num_shards/--shard_id/--init_method tcp://host:port``,
+    slowfast/utils/{multiprocessing.py:9-62, parser.py:31-48}) onto
+    ``jax.distributed.initialize``. One process per HOST (each host
+    owns all its local chips — the single-controller analog of the
+    reference's one-process-per-GPU spawn); collectives ride ICI within
+    a slice and DCN across shards. No-op for NUM_SHARDS == 1."""
+    if cfg.NUM_SHARDS <= 1:
+        return
+    coordinator = cfg.INIT_METHOD
+    for prefix in ("tcp://", "env://"):
+        if coordinator.startswith(prefix):
+            coordinator = coordinator[len(prefix):]
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=cfg.NUM_SHARDS,
+        process_id=cfg.SHARD_ID,
+    )
+
+
 def make_mesh(
     devices: Optional[Sequence] = None,
     axis_names: Sequence[str] = ("data",),

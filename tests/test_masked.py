@@ -371,3 +371,60 @@ def test_maskfeat_pixel_branch(ref_masked):
             got_masked, want_lab.numpy(), atol=1e-4, rtol=1e-3,
             err_msg=f"labels {i}",
         )
+
+
+def test_mae_visualize_roundtrip(ref_masked):
+    """VIS_MASK path: patchify/unpatchify round-trips match the
+    reference's _patchify/_unpatchify, and the reconstruction keeps
+    visible patches bit-exact while filling dropped ones with preds."""
+    import torch
+
+    from vtm.vis.mae_vis import mae_visualize, _unpatchify
+    from vtm.models.masked import _patchify_pixels
+
+    cfg = _mae_cfg()
+    torch.manual_seed(0)
+    ref = ref_masked.MaskMViT(cfg).eval()
+    frames = np.random.default_rng(0).standard_normal(
+        (2, 4, 32, 32, 3)
+    ).astype(np.float32)
+
+    # reference patchify expects [B, C, T, H, W] with the temporal
+    # subsampling already applied
+    sub = frames[:, ::2]
+    want_tokens = ref._patchify(
+        torch.from_numpy(np.transpose(sub, (0, 4, 1, 2, 3))), p=8,
+        time_stride_loss=True,
+    )
+    got_tokens = _patchify_pixels(sub, p=8, u=1)
+    np.testing.assert_allclose(got_tokens, want_tokens.numpy(), atol=1e-6)
+
+    want_video = ref._unpatchify(want_tokens)
+    got_video = _unpatchify(np.asarray(got_tokens), t=2, h=4, w=4, u=1, p=8)
+    np.testing.assert_allclose(
+        got_video, np.transpose(want_video.numpy(), (0, 2, 3, 4, 1)),
+        atol=1e-6,
+    )
+
+    # reconstruction semantics
+    n = 2 * 4 * 4
+    mask = np.zeros((2, n), np.float32)
+    mask[:, : n // 2] = 1.0
+    preds = np.random.default_rng(1).standard_normal(
+        (2, n, 8 * 8 * 3)
+    ).astype(np.float32)
+    orig, masked, recon = mae_visualize(
+        frames, preds, mask, patch_t_stride=2, patch=8
+    )
+    np.testing.assert_allclose(orig, sub)
+    # visible tokens identical to the input in both masked + recon
+    vis_tokens = _patchify_pixels(recon, p=8, u=1)
+    np.testing.assert_allclose(
+        np.asarray(vis_tokens)[mask == 0],
+        np.asarray(_patchify_pixels(sub, p=8, u=1))[mask == 0],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(vis_tokens)[mask == 1], preds[mask == 1], atol=1e-6
+    )
+    assert (np.asarray(_patchify_pixels(masked, p=8, u=1))[mask == 1] == 0).all()

@@ -182,3 +182,37 @@ def test_visualization_driver_activations_topk(tmp_path):
     cfg.TENSORBOARD.MODEL_VIS.MAX_BATCHES = 1
     run_visualization(cfg)
     assert list(tmp_path.glob("runs-*/events.out.tfevents.*"))
+
+
+def test_get_class_names_matches_reference(tmp_path):
+    import json
+
+    from test_convnet import _install_native_stubs
+
+    _install_native_stubs()
+    from conftest import load_reference_module
+
+    ref_misc = load_reference_module("slowfast/utils/misc.py", "ref_misc")
+    from vtm.utils.class_names import get_class_names
+
+    classes = {"run": 0, "jump": 2, "walk": 1}
+    (tmp_path / "classes.json").write_text(json.dumps(classes))
+    (tmp_path / "parents.json").write_text(
+        json.dumps({"move": ["run", "walk", "fly"], "leap": ["jump"]})
+    )
+    (tmp_path / "subset.txt").write_text("run\njump\nmissing\n")
+
+    want = ref_misc.get_class_names(
+        str(tmp_path / "classes.json"),
+        str(tmp_path / "parents.json"),
+        str(tmp_path / "subset.txt"),
+    )
+    got = get_class_names(
+        str(tmp_path / "classes.json"),
+        str(tmp_path / "parents.json"),
+        str(tmp_path / "subset.txt"),
+    )
+    assert want == got
+    assert got[0] == ["run", "walk", "jump"]
+    assert got[1] == {"move": [0, 1], "leap": [2]}
+    assert got[2] == [0, 2]

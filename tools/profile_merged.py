@@ -126,18 +126,23 @@ def main():
             x, iters, rtt=rtt, params=params[f"blocks_{i}"],
         )
         fl = block_flops(n, r=r)
-        layers.append(
-            dict(
-                layer=i,
-                n=n,
-                merged_ms=round(merged_s / iters * 1e3, 4),
-                nomerge_ms=round(plain_s / iters * 1e3, 4),
-                matcher_merge_ms=round((merged_s - plain_s) / iters * 1e3, 4),
-                flops=fl,
+        ms = merged_s / iters * 1e3
+        row = dict(
+            layer=i,
+            n=n,
+            merged_ms=round(ms, 4),
+            nomerge_ms=round(plain_s / iters * 1e3, 4),
+            matcher_merge_ms=round((merged_s - plain_s) / iters * 1e3, 4),
+            flops=fl,
+        )
+        if ms >= 0.02:  # below this the rtt subtraction dominates
+            row.update(
                 eff_tflops=round(fl * batch / (merged_s / iters) / 1e12, 1),
                 mfu=round(fl * batch / (merged_s / iters) / 1e12 / peak, 4),
             )
-        )
+        else:
+            row["note"] = "below timing floor (sub-rtt)"
+        layers.append(row)
         print(json.dumps(layers[-1]), flush=True)
 
     sum_parts_ms = sum(l["merged_ms"] for l in layers)

@@ -122,7 +122,22 @@ def test_ava_demo_box_loading_matches_reference(tmp_path):
     from test_convnet import _install_native_stubs
 
     _install_native_stubs()
-    from conftest import load_reference_module
+    from conftest import REFERENCE, load_reference_module
+
+    # the reference module does `from slowfast.models import build_model`;
+    # when an earlier parity test already registered slowfast.models as a
+    # synthetic path-only package (load_reference_module does this), that
+    # from-import can't resolve — pre-register it with a stub (the fns
+    # under test never build a model) so the test is order-independent.
+    import types
+
+    ref_models = sys.modules.get("slowfast.models")
+    if ref_models is None:
+        ref_models = types.ModuleType("slowfast.models")
+        ref_models.__path__ = [str(REFERENCE / "slowfast/models")]
+        sys.modules["slowfast.models"] = ref_models
+    if not hasattr(ref_models, "build_model"):
+        ref_models.build_model = lambda *a, **k: None
 
     csv = tmp_path / "boxes.csv"
     rows = [

@@ -36,16 +36,65 @@ def run_demo(cfg) -> int:
     predictor = Predictor(cfg)
     class_names = load_class_names(cfg.DEMO.LABEL_FILE_PATH)
 
+    # DEMO.NUM_VIS_INSTANCES > 1 fans the host-side drawing out to a
+    # multiprocess AsyncVis pool (reference async_predictor.py AsyncVis;
+    # inference stays in-process — the TPU-correct topology)
+    async_vis = None
+    if cfg.DEMO.NUM_VIS_INSTANCES > 1:
+        from vtm.vis.async_predictor import AsyncVis
+        from vtm.vis.video_visualizer import VideoVisualizer
+
+        video_vis = VideoVisualizer(
+            num_classes=cfg.MODEL.NUM_CLASSES,
+            class_names=class_names,
+            top_k=cfg.DEMO.VIS_TOPK,
+            thres=cfg.DEMO.COMMON_CLASS_THRES,
+            mode="thres" if cfg.DEMO.VIS_MODE == "thres" else "top-k",
+        )
+        async_vis = AsyncVis(video_vis, n_workers=cfg.DEMO.NUM_VIS_INSTANCES)
+
     num_tasks = 0
     try:
+        pending = 0
         for task_idx, task in enumerate(manager):
             if cfg.DEMO.NUM_CLIPS_SKIP and task_idx % (cfg.DEMO.NUM_CLIPS_SKIP + 1):
                 continue
             task = predictor(task)
-            task = draw_predictions(task, class_names, k=cfg.DEMO.VIS_TOPK)
-            manager.display(task)
-            num_tasks += 1
+            if async_vis is not None:
+                task.add_action_preds(task.preds)
+                # reindex: AsyncVis.get() returns ids sequentially and
+                # NUM_CLIPS_SKIP leaves holes in the manager's ids
+                task.id = async_vis.put_id + 1
+                async_vis.put(task)
+                pending += 1
+                while pending:
+                    try:
+                        done = async_vis.get()
+                    except IndexError:
+                        break
+                    manager.display(done)
+                    pending -= 1
+                    num_tasks += 1
+            else:
+                task = draw_predictions(task, class_names, k=cfg.DEMO.VIS_TOPK)
+                manager.display(task)
+                num_tasks += 1
+        if async_vis is not None:
+            import time
+
+            deadline = time.time() + 60
+            while pending and time.time() < deadline:
+                try:
+                    done = async_vis.get()
+                except IndexError:
+                    time.sleep(0.02)
+                    continue
+                manager.display(done)
+                pending -= 1
+                num_tasks += 1
     finally:
+        if async_vis is not None:
+            async_vis.shutdown()
         manager.join()
         manager.clean()
     logger.info("demo processed %d clips", num_tasks)

@@ -457,6 +457,7 @@ def get_cfg() -> CfgNode:
     _C.DEMO.THREAD_ENABLE = False
     _C.DEMO.NUM_CLIPS_SKIP = 0
     _C.DEMO.VIS_TOPK = 3
+    _C.DEMO.NUM_VIS_INSTANCES = 2
     # AVA precomputed-box demo (reference defaults.py:1212-1254)
     _C.DEMO.CLIP_VIS_SIZE = 10
     _C.DEMO.PREDS_BOXES = ""

@@ -53,31 +53,30 @@ def draw_predictions(task, video_vis):
     return buffer + list(frames)
 
 
+def _vis_worker_loop(video_vis, task_queue, result_queue):
+    """Worker body (reference AsyncVis._VisWorker.run:44-58); a module-
+    level function so spawn can pickle the target."""
+    while True:
+        task = task_queue.get()
+        if isinstance(task, _StopToken):
+            break
+        frames = draw_predictions(task, video_vis)
+        task.frames = np.array(frames)
+        result_queue.put(task)
+
+
 class AsyncVis:
     """Fan drawing work out to ``n_workers`` processes; results are
     re-ordered by task id on get() (reference AsyncVis semantics:
     get() raises IndexError while the next id is still pending)."""
 
-    class _VisWorker(mp.Process):
-        def __init__(self, video_vis, task_queue, result_queue):
-            self.video_vis = video_vis
-            self.task_queue = task_queue
-            self.result_queue = result_queue
-            super().__init__(daemon=True)
-
-        def run(self):
-            while True:
-                task = self.task_queue.get()
-                if isinstance(task, _StopToken):
-                    break
-                frames = draw_predictions(task, self.video_vis)
-                task.frames = np.array(frames)
-                self.result_queue.put(task)
-
     def __init__(self, video_vis, n_workers: Optional[int] = None):
         num_workers = n_workers if n_workers is not None else mp.cpu_count()
-        self.task_queue = mp.Queue()
-        self.result_queue = mp.Queue()
+        # spawn, not fork: the demo process has a live (multithreaded) JAX
+        # client by the time drawing fans out, and forking it can deadlock
+        ctx = mp.get_context("spawn")
+        self.task_queue = ctx.Queue()
+        self.result_queue = ctx.Queue()
         self.get_indices_ls = []
         self.procs = []
         self.result_data = {}
@@ -85,8 +84,10 @@ class AsyncVis:
         self.get_id = -1
         for _ in range(max(num_workers, 1)):
             self.procs.append(
-                AsyncVis._VisWorker(
-                    video_vis, self.task_queue, self.result_queue
+                ctx.Process(
+                    target=_vis_worker_loop,
+                    args=(video_vis, self.task_queue, self.result_queue),
+                    daemon=True,
                 )
             )
         for p in self.procs:

@@ -79,6 +79,29 @@ def peak_matmul_tflops(rtt: float) -> float:
     return 2 * 4096**3 * iters / secs / 1e12
 
 
+# Nominal bf16 peaks (TFLOP/s) by device-kind substring. The on-chip
+# probe drifts +/-20% with the tunneled chip's timing noise and has been
+# observed ABOVE spec (226 TF/s on a 197 TF/s v5e) — an impossible
+# denominator that makes MFU incomparable across runs. When the device
+# kind is recognised, MFU uses the nominal peak; the probe is still
+# recorded as a sanity value.
+_NOMINAL_BF16_TFLOPS = {
+    "v5 lite": 197.0,  # v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6": 918.0,  # v6e (Trillium)
+}
+
+
+def nominal_or_probe_peak(device_kind: str, probe: float) -> float:
+    kind = device_kind.lower()
+    for key, tf in _NOMINAL_BF16_TFLOPS.items():
+        if key in kind:
+            return tf
+    return probe
+
+
 def _probe_device(timeout_s: int = 120, attempts: int = 8) -> None:
     """Fail (exit 3) only after ~30 min of patience if the TPU lease is
     wedged — a killed process with dispatched-but-unfetched remote work
@@ -218,10 +241,17 @@ def main():
                 (merged_cps / base_cps) / (flops_base / flops_merged) * 100, 1
             ),
             peak_bf16_tflops_probe=round(peak, 1),
+            peak_bf16_tflops_mfu_denominator=round(
+                nominal_or_probe_peak(detail["device"], peak), 1
+            ),
             eff_tflops_baseline=round(eff_base, 1),
             eff_tflops_merged=round(eff_merged, 1),
-            mfu_baseline=round(eff_base / peak, 4),
-            mfu_merged=round(eff_merged / peak, 4),
+            mfu_baseline=round(
+                eff_base / nominal_or_probe_peak(detail["device"], peak), 4
+            ),
+            mfu_merged=round(
+                eff_merged / nominal_or_probe_peak(detail["device"], peak), 4
+            ),
         )
     except Exception as e:  # cost analysis is best-effort on some backends
         detail["flops_error"] = f"{type(e).__name__}: {e}"

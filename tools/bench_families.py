@@ -118,13 +118,20 @@ def main():
     ).split(",")
     rtt = host_roundtrip_latency()
 
+    from bench import nominal_or_probe_peak
+
     m = jnp.ones((4096, 4096), jnp.bfloat16)
-    peak = 2 * 4096 ** 3 * 50 / chained_seconds(
+    probe = 2 * 4096 ** 3 * 50 / chained_seconds(
         lambda v: v @ v, m, 50, rtt=rtt
     ) / 1e12
+    # nominal peak when the device kind is known — the probe drifts
+    # +/-20% (observed above spec) and makes MFU incomparable across runs
+    peak = nominal_or_probe_peak(str(jax.devices()[0]), probe)
 
     out = {"device": str(jax.devices()[0]), "batch": batch, "iters": iters,
-           "peak_bf16_tflops_probe": round(peak, 1), "families": {}}
+           "peak_bf16_tflops_probe": round(probe, 1),
+           "peak_bf16_tflops_mfu_denominator": round(peak, 1),
+           "families": {}}
     rng = np.random.default_rng(0)
     for family in families:
         base, shape = build(family, merged=False)

@@ -94,11 +94,15 @@ def main():
         rtt=rtt, params=params,
     )
 
-    # bf16 peak probe (same as bench.py)
+    # bf16 peak: nominal when the device kind is known (the probe has
+    # been observed above spec on the tunneled chip), else the probe
+    from bench import nominal_or_probe_peak
+
     m = jnp.ones((4096, 4096), jnp.bfloat16)
     peak = 2 * 4096 ** 3 * 50 / chained_seconds(
         lambda v: v @ v, m, 50, rtt=rtt
     ) / 1e12
+    peak = nominal_or_probe_peak(str(jax.devices()[0]), peak)
 
     layers = []
     for i, n in enumerate(counts[:-1]):

@@ -6,4 +6,4 @@ from vtm.data.loader import (  # noqa: F401
     register_dataset,
     shuffle_dataset,
 )
-from vtm.data import kinetics, ssv2, epickitchens, charades, imagenet, ava, synthetic  # noqa: F401
+from vtm.data import kinetics, ssv2, epickitchens, charades, imagenet, ava, synthetic, ptv  # noqa: F401

@@ -226,6 +226,12 @@ def main():
         "speedup": round(merged_cps / base_cps, 4),
         "token_schedule_r": list(merged_policy.rs),
         "token_counts": list(merged_policy.token_counts(config.tokens)),
+        "analysis": (
+            "PERF_NOTES.md + PROFILE_MERGED.json: residual vs FLOP-ideal is"
+            " the big-N ViT blocks (attention-bound at head_dim 64, whose"
+            " qk/pv matmuls half-fill the 128-wide MXU); matcher+merge is"
+            " ~3%, small-N tail ~2%"
+        ),
     }
     try:
         flops_base = program_flops(base, params, x)

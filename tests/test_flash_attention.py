@@ -105,11 +105,19 @@ def test_attention_core_excluded_bias_kernel_split(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
 
 
+@pytest.mark.parametrize(
+    "f,s",
+    [
+        (8, 5),    # nq8=40 < 128: padded-block fallback
+        (4, 50),   # nq8=200: exact-divisor block (blk_q_eff=200, no q pad)
+        (8, 193),  # nq8=1544=8*193: no aligned divisor -> padded fallback
+    ],
+)
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_frame_kernel_matches_reference(with_bias):
+def test_frame_kernel_matches_reference(with_bias, f, s):
     from vtm.ops.flash_attention import _frame_reference, tome_frame_attention
 
-    b, h, f, s, d = 2, 3, 8, 5, 16
+    b, h, d = 2, 3, 16
     n = f * s
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
@@ -122,4 +130,5 @@ def test_frame_kernel_matches_reference(with_bias):
     )
     ref = np.asarray(_frame_reference(q, k, v, bias, 0.25, f))
     got = np.asarray(tome_frame_attention(q, k, v, bias, 0.25, f))
+    assert got.shape == (b, n, f, h, d)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)

@@ -150,7 +150,7 @@ class TrajectoryAttention(nn.Module):
                 xfa = approx.performer_attention(q_f, k_f, v_f2, f, m=256)
             else:
                 raise ValueError(f"unknown approx_attn_type {c.approx_attn_type!r}")
-            xfa = xfa.reshape(b, h, n - 1, f, hd)
+            xfa = xfa.reshape(b, h, n - 1, f, hd).transpose(0, 2, 3, 1, 4)
         else:
             # spatial attention per actual frame (keys grouped (f n));
             # the proportional-attention size is (s f)-flattened while
@@ -173,10 +173,14 @@ class TrajectoryAttention(nn.Module):
                 logits = logits.reshape(b, h, n - 1, f, s)
                 attn = nn.softmax(logits, axis=-1).astype(v.dtype)
                 v_f = v_.reshape(b, h, f, s, hd)
-                xfa = jnp.einsum("bhqfn,bhfnd->bhqfd", attn, v_f)  # [B,h,N',F,hd]
+                xfa = jnp.einsum("bhqfn,bhfnd->bqfhd", attn, v_f)  # [B,N',F,h,hd]
 
-        # trajectory (temporal) attention; query = own-frame diagonal
-        xq = jnp.transpose(xfa, (0, 2, 3, 1, 4)).reshape(b, n - 1, f, d)
+        # trajectory (temporal) attention; query = own-frame diagonal.
+        # xfa is token-major [B, N', F, h, hd] — head-merge for the
+        # f-expanded proj_kv matmul is a free reshape, and the temporal
+        # einsums below consume [B, N', F, ...] directly (the old layout
+        # needed three ~154 MB 5-D transposes per layer at ViT-B).
+        xq = xfa.reshape(b, n - 1, f, d)
         frame_of = jnp.arange(n - 1) // s  # body is (f n): token's own frame
         x_diag = jnp.take_along_axis(xq, frame_of[None, :, None, None], axis=2)[:, :, 0, :]
         q2 = nn.Dense(d, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_q")(x_diag)
@@ -189,10 +193,10 @@ class TrajectoryAttention(nn.Module):
         else:
             kv2 = nn.Dense(d * 2, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_kv")(xq)
             k2, v2 = jnp.split(kv2, 2, axis=-1)
-        q2 = split_heads(q2, h) * scale  # [B,h,N',hd]
-        k2 = k2.reshape(b, n - 1, f, h, hd).transpose(0, 3, 1, 2, 4)
+        q2 = (q2 * scale).reshape(b, n - 1, h, hd)
+        k2 = k2.reshape(b, n - 1, f, h, hd)
         logits2 = jnp.einsum(
-            "bhsd,bhsfd->bhsf", q2, k2, preferred_element_type=jnp.float32
+            "bnhd,bnfhd->bnhf", q2, k2, preferred_element_type=jnp.float32
         )
         attn2 = nn.softmax(logits2, axis=-1).astype(v.dtype)
         # use_original_code keeps the original v=x typo (helper:160-164):
@@ -200,9 +204,9 @@ class TrajectoryAttention(nn.Module):
         if c.use_original_code:
             val2 = xfa
         else:
-            val2 = v2.reshape(b, n - 1, f, h, hd).transpose(0, 3, 1, 2, 4)
-        out = jnp.einsum("bhsf,bhsfd->bhsd", attn2, val2)
-        out = merge_heads(out)  # [B, N', D]
+            val2 = v2.reshape(b, n - 1, f, h, hd)
+        out = jnp.einsum("bnhf,bnfhd->bnhd", attn2, val2)
+        out = out.reshape(b, n - 1, d)
 
         out = jnp.concatenate([cls_out, out], axis=1)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)

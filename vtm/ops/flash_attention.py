@@ -336,25 +336,49 @@ tome_flash_attention.defvjp(_fwd, _bwd)
 # ------------------------------------------------- per-frame (trajectory)
 
 
-def _frame_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-    """One (bh, q-block, frame) program of PER-FRAME attention: softmax
-    over this frame's keys only — the spatial step of Motionformer
-    trajectory attention (motionformer_vit_helper.py:236-243). The
-    frame is a grid dimension, so every op stays 2-D."""
-    q = q_ref[0]  # [blk_q, d] (pre-scaled)
-    k = k_ref[0]  # [s_pad, d] — this frame's keys
-    v = v_ref[0]  # [s_pad, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [blk_q, s_pad]
-    s = s + bias_ref[0, 0]  # [1, s_pad] broadcast
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
+def _make_frame_kernel(frames: int, s_pad: int):
+    def _frame_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        """One (bh, q-block) program of PER-FRAME attention — the spatial
+        step of Motionformer trajectory attention
+        (motionformer_vit_helper.py:236-243). All frames' keys live in
+        the program: ONE [blk_q, n_pad] QK matmul (MXU-efficient lane
+        dim) followed by a static per-frame loop of softmax + PV on
+        contiguous 128-aligned lane slices. Versus the old
+        one-frame-per-program grid this is 8x fewer programs and an 8x
+        larger QK N dim (measured 3.38 -> ~1.5 ms/layer at ViT-B)."""
+        q = q_ref[0]  # [blk_q, d] (pre-scaled)
+        k = k_ref[0]  # [n_pad, d] — all frames, per-frame padded
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [blk_q, n_pad]
+        s = s + bias_ref[0]  # [1, n_pad] broadcast (-1e30 at pad keys)
+        for fi in range(frames):
+            sf = s[:, fi * s_pad : (fi + 1) * s_pad]
+            m = jnp.max(sf, axis=-1, keepdims=True)
+            p = jnp.exp(sf - m)
+            denom = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(v_ref.dtype),
+                v_ref[0, fi * s_pad : (fi + 1) * s_pad, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, fi] = (o / denom).astype(o_ref.dtype)
+
+    return _frame_kernel
+
+
+def _frame_blk_q(n: int, n_pad: int, blk_q: int) -> int:
+    """Largest q block <= blk_q that divides ceil8(n) exactly (kills q
+    padding — 1568 pads 30% to 2048 otherwise) and whose fp32 logits
+    tile [blk_q, n_pad] stays within a VMEM budget; falls back to a
+    padded 128-multiple block when no divisor exists."""
+    nq8 = -(-n // 8) * 8
+    cap = min(blk_q, nq8, max(128, (6_500_000 // (n_pad * 4)) // 8 * 8))
+    for c in range(cap - cap % 8, 127, -8):
+        if nq8 % c == 0:
+            return c
+    return min(blk_q, -(-n // _LANE) * _LANE)
 
 
 def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
@@ -363,7 +387,7 @@ def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
     s_len = n // f
     s_pad = -(-s_len // _LANE) * _LANE
     n_pad = s_pad * f
-    blk_q_eff = min(blk_q, -(-n // _LANE) * _LANE)
+    blk_q_eff = _frame_blk_q(n, n_pad, blk_q)
     nq_pad = -(-n // blk_q_eff) * blk_q_eff
     dtype = q.dtype
 
@@ -379,27 +403,27 @@ def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
     ks = ks.reshape(b * h, n_pad, d)
     vs = vs.reshape(b * h, n_pad, d)
 
-    bias = jnp.full((b, f, 1, s_pad), -1e30, jnp.float32)
+    bias = jnp.full((b, f, s_pad), -1e30, jnp.float32)
     kb = (
-        key_bias.astype(jnp.float32).reshape(b, f, 1, s_len)
+        key_bias.astype(jnp.float32).reshape(b, f, s_len)
         if key_bias is not None
-        else jnp.zeros((b, f, 1, s_len), jnp.float32)
+        else jnp.zeros((b, f, s_len), jnp.float32)
     )
-    bias = bias.at[:, :, :, :s_len].set(kb)
+    bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
 
-    grid = (b * h, nq_pad // blk_q_eff, f)
+    grid = (b * h, nq_pad // blk_q_eff)
     out = pl.pallas_call(
-        _frame_kernel,
+        _make_frame_kernel(f, s_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, blk_q_eff, d), lambda bh, qi, fi: (bh, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda bh, qi, fi: (bh, fi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, s_pad, d), lambda bh, qi, fi: (bh, fi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, s_pad), lambda bh, qi, fi: (bh // h, fi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk_q_eff, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bh, qi: (bh // h, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, blk_q_eff, d),
-            lambda bh, qi, fi: (bh, fi, qi, 0),
+            (1, f, blk_q_eff, d),
+            lambda bh, qi: (bh, 0, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b * h, f, nq_pad, d), dtype),
@@ -411,7 +435,11 @@ def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
         interpret=jax.default_backend() not in ("tpu", "axon"),
     )(qs, ks, vs, bias)
     out = out[:, :, :n, :].reshape(b, h, f, n, d)
-    return jnp.transpose(out, (0, 1, 3, 2, 4))  # [B, H, N, F, d]
+    # token-major output: the ONLY layout change downstream of the
+    # kernel — xq/proj_kv/temporal-attention all consume [B, N, F, ...]
+    # natively (motionformer.py), so the old extra [B,H,N,F,d] transpose
+    # + k2 fold transpose (2 x 154 MB at ViT-B) are gone.
+    return jnp.transpose(out, (0, 3, 2, 1, 4))  # [B, N, F, H, d]
 
 
 def _frame_reference(q, k, v, key_bias, sm_scale, frames):
@@ -424,7 +452,7 @@ def _frame_reference(q, k, v, key_bias, sm_scale, frames):
         logits = logits + key_bias.astype(jnp.float32)[:, None, None, :]
     logits = logits.reshape(b, h, n, f, n // f)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqfn,bhfnd->bhqfd", probs, v.reshape(b, h, f, n // f, d))
+    return jnp.einsum("bhqfn,bhfnd->bqfhd", probs, v.reshape(b, h, f, n // f, d))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -435,10 +463,12 @@ def tome_frame_attention(
     key_bias: Optional[jax.Array] = None,
     sm_scale: float = 1.0,
     frames: int = 8,
-    blk_q: int = 512,
+    blk_q: int = 784,
 ):
-    """Per-frame softmax attention, fused: returns [B, H, N, F, d]
-    (q/k/v: [B, H, N, d] with keys frame-major; key_bias: [B, N])."""
+    """Per-frame softmax attention, fused: returns token-major
+    [B, N, F, H, d] (q/k/v: [B, H, N, d] with keys frame-major;
+    key_bias: [B, N]). ``blk_q`` is an upper bound — the actual block
+    is the largest exact divisor of ceil8(N) (see ``_frame_blk_q``)."""
     return _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q)
 
 

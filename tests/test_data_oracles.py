@@ -27,6 +27,10 @@ def _ref_ssv2_module():
     logging_mod.get_logger = _pylogging.getLogger
     env_mod = types.ModuleType("slowfast.utils.env")
     env_mod.pathmgr = types.SimpleNamespace(open=open)
+    # later tests (test_vis_tail's ava_demo oracle) import
+    # slowfast.utils.checkpoint, which needs this name from the same
+    # (now stubbed, persisting in sys.modules) module
+    env_mod.checkpoint_pathmgr = types.SimpleNamespace(open=open)
     build_mod = types.ModuleType("slowfast.datasets.build")
 
     class _Registry:
@@ -36,7 +40,13 @@ def _ref_ssv2_module():
     build_mod.DATASET_REGISTRY = _Registry()
     utils_mod = mock.MagicMock(name="slowfast.datasets.utils")
     utils_mod.__spec__ = mock.MagicMock()
-    sys.modules.setdefault("slowfast.utils", types.ModuleType("slowfast.utils"))
+    # slowfast.utils must be a PACKAGE (have __path__) — later tests
+    # import real submodules (slowfast.utils.misc/checkpoint) through it
+    from conftest import REFERENCE
+
+    upkg = sys.modules.setdefault("slowfast.utils", types.ModuleType("slowfast.utils"))
+    if not hasattr(upkg, "__path__"):
+        upkg.__path__ = [str(REFERENCE / "slowfast/utils")]
     sys.modules["slowfast.utils.logging"] = logging_mod
     sys.modules["slowfast.utils.env"] = env_mod
     sys.modules["slowfast.datasets.build"] = build_mod

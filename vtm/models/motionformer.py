@@ -181,8 +181,10 @@ class TrajectoryAttention(nn.Module):
         # einsums below consume [B, N', F, ...] directly (the old layout
         # needed three ~154 MB 5-D transposes per layer at ViT-B).
         xq = xfa.reshape(b, n - 1, f, d)
-        frame_of = jnp.arange(n - 1) // s  # body is (f n): token's own frame
-        x_diag = jnp.take_along_axis(xq, frame_of[None, :, None, None], axis=2)[:, :, 0, :]
+        # token's own frame (body is (f n)); one-hot reduce beats
+        # take_along_axis's gather lowering (measured -0.3 ms/layer)
+        frame_onehot = jax.nn.one_hot(jnp.arange(n - 1) // s, f, dtype=xq.dtype)
+        x_diag = jnp.einsum("nf,bnfd->bnd", frame_onehot, xq)
         q2 = nn.Dense(d, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_q")(x_diag)
         if c.use_original_code:
             # v=x typo (helper:160-164): proj_kv's v half is never used —
@@ -193,20 +195,21 @@ class TrajectoryAttention(nn.Module):
         else:
             kv2 = nn.Dense(d * 2, use_bias=c.qkv_bias, dtype=self.dtype, name="proj_kv")(xq)
             k2, v2 = jnp.split(kv2, 2, axis=-1)
-        q2 = (q2 * scale).reshape(b, n - 1, h, hd)
-        k2 = k2.reshape(b, n - 1, f, h, hd)
-        logits2 = jnp.einsum(
-            "bnhd,bnfhd->bnhf", q2, k2, preferred_element_type=jnp.float32
-        )
-        attn2 = nn.softmax(logits2, axis=-1).astype(v.dtype)
+        # temporal attention via head-indicator matmuls: per-head logits
+        # logits2[b,n,f,h] = sum_hd q2*k2 computed as an elementwise
+        # product + a [D,h] 0/1 segment matmul, so every tensor stays in
+        # the token-major [B,N',F,D] layout (the per-(b,n,h) batched
+        # [1,hd]x[hd,f] einsum form made XLA transpose k2 and xfa —
+        # ~1.1 ms/layer slower at ViT-B, tools/profile_motionformer.py)
+        hmat = jnp.zeros((d, h), xq.dtype).at[jnp.arange(d), jnp.arange(d) // hd].set(1)
+        z = (q2 * scale)[:, :, None, :] * k2  # [B, N', F, D]
+        logits2 = jnp.einsum("bnfd,dh->bnfh", z, hmat, preferred_element_type=jnp.float32)
+        attn2 = nn.softmax(logits2, axis=2)
+        attn2_d = jnp.einsum("bnfh,dh->bnfd", attn2.astype(v.dtype), hmat)
         # use_original_code keeps the original v=x typo (helper:160-164):
         # the temporal values are the aggregated x, not proj_kv's v
-        if c.use_original_code:
-            val2 = xfa
-        else:
-            val2 = v2.reshape(b, n - 1, f, h, hd)
-        out = jnp.einsum("bnhf,bnfhd->bnhd", attn2, val2)
-        out = out.reshape(b, n - 1, d)
+        val2 = xq if c.use_original_code else v2
+        out = jnp.sum(attn2_d * val2, axis=2)
 
         out = jnp.concatenate([cls_out, out], axis=1)
         out = nn.Dense(d, dtype=self.dtype, name="proj")(out)

@@ -117,7 +117,7 @@ def main():
     xs = arr(b * t, p + 1, d)
     smod = TimeSformerAttention(d, h, True, dtype=dt, with_metric=True)
     sp = smod.init(jax.random.key(0), xs[:2])["params"]
-    size = jnp.ones((b * t, p + 1, 1), jnp.float32)
+    size = jnp.ones((b * t, p, 1), jnp.float32)
     timeit(
         "spatial_attn_unbiased",
         lambda pr, x_: smod.apply({"params": pr}, x_)[0],

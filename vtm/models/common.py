@@ -128,12 +128,14 @@ class LayerNorm(nn.LayerNorm):
 
 
 # Unbiased attention fuses well in XLA (probs materialize once, bf16) —
-# the kernel only wins above ~256 tokens. A biased attention forces a
-# full fp32 logits materialization in XLA, so the kernel pays off from
-# ~160 tokens (measured: TimeSformer N=197 biased einsum 4.2 ms/layer vs
-# kernel 1.16 ms; unbiased einsum beats the kernel below ~256).
+# the kernel only wins above ~256 tokens. The same crossover holds for
+# the key-biased form now that the einsum path fuses the bias into the
+# softmax chain instead of scattering (measured bt=64 h=12 hd=64:
+# N=197 einsum 0.56 ms vs kernel 0.78; N=256 kernel 0.44 vs einsum
+# 0.63; N>=384 kernel wins 1.5-4x). The old 160 threshold dated from
+# comparing against the scatter-shaped einsum (4.2 ms at N=197).
 _FLASH_MIN_SEQ = 256
-_FLASH_MIN_SEQ_BIASED = 160
+_FLASH_MIN_SEQ_BIASED = 256
 _FLASH_MAX_SEQ = 4096  # whole-row K/V must fit in VMEM
 
 
@@ -165,12 +167,13 @@ def attention_core(
     ``bias_excludes_first``: TimeSformer adds size.log only to the
     non-CLS block of the logits — ``size_bias`` has key length N-1 and
     is added to logits[:, :, 1:, 1:] (reference
-    tome/patch/timesformer.py:73-74). That decomposes exactly into a
-    pure key bias [0, log s] applied to every query row plus ONE
-    unbiased row for the CLS query (bias at key 0 is zero, so column 0
-    is untouched) — a fused-kernel-friendly form that also avoids the
-    scatter-shaped ``.at[1:, 1:].add`` on the einsum path
-    (4.2 ms/layer -> 1.16 ms at TimeSformer shapes).
+    tome/patch/timesformer.py:73-74). On the kernel path that
+    decomposes exactly into a pure key bias [0, log s] applied to every
+    query row plus ONE unbiased row for the CLS query (bias at key 0 is
+    zero, so column 0 is untouched). On the einsum path the same bias
+    is the rank-1 product row_mask ⊗ [0, log s], fused by XLA into the
+    softmax — never the scatter-shaped ``.at[1:, 1:].add``
+    (4.2 ms/layer vs 0.6 ms at TimeSformer N=197).
     """
     n = q.shape[2]
     kernel_ok = (
@@ -201,8 +204,13 @@ def attention_core(
             return tome_flash_attention(q, k, v, key_bias, scale)
         return _einsum(q, key_bias)
 
-    # CLS-excluded bias: rows 1.. with the zero-padded key bias, row 0
-    # unbiased (computed separately — one query row, negligible)
+    # CLS-excluded bias. Kernel path: rows 1.. with the zero-padded key
+    # bias, row 0 unbiased (computed separately — one query row,
+    # negligible). Einsum path: the bias is the rank-1 outer product
+    # row_mask[q] * key_bias[k] (row 0 zeroed by the mask, column 0 by
+    # the pad), which XLA fuses straight into the softmax chain — no
+    # scatter, no separate CLS row, no output concat (the concat
+    # epilogue alone cost ~0.6 ms/layer at TimeSformer N=197).
     b = size_bias.shape[0]
     key_bias = jnp.concatenate(
         [jnp.zeros((b, 1), jnp.float32), size_bias[:, 0, 0, :].astype(jnp.float32)],
@@ -212,10 +220,15 @@ def attention_core(
         from vtm.ops.flash_attention import tome_flash_attention
 
         out = tome_flash_attention(q, k, v, key_bias, scale)
-    else:
-        out = _einsum(q, key_bias)
-    out0 = _einsum(q[:, :, :1], None)
-    return jnp.concatenate([out0, out[:, :, 1:]], axis=2)
+        out0 = _einsum(q[:, :, :1], None)
+        return jnp.concatenate([out0, out[:, :, 1:]], axis=2)
+    row_mask = (jnp.arange(n) > 0).astype(jnp.float32)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    logits = logits + row_mask[None, None, :, None] * key_bias[:, None, None, :]
+    probs = nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
 def merge_heads(x: jnp.ndarray) -> jnp.ndarray:

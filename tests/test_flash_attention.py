@@ -85,10 +85,20 @@ def test_attention_core_dispatch_consistency():
     )
 
 
+def _excluded_bias_scatter_oracle(q, k, v, scale, size_bias):
+    """The reference formulation: logits[:, :, 1:, 1:] += log s."""
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    logits = logits.at[:, :, 1:, 1:].add(size_bias[:, 0, 0][:, None, None, :])
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
 def test_attention_core_excluded_bias_kernel_split(monkeypatch):
     """The TimeSformer CLS-excluded bias decomposition (kernel with
     [0, log s] key bias + separate unbiased CLS row) must match the
-    einsum formulation (logits[:, :, 1:, 1:] += log s)."""
+    scatter oracle (logits[:, :, 1:, 1:] += log s)."""
     import vtm.models.common as common
 
     b, h, n, d = 2, 3, 197, 64
@@ -99,25 +109,48 @@ def test_attention_core_excluded_bias_kernel_split(monkeypatch):
     size = jnp.asarray(rng.uniform(1, 4, (b, n - 1, 1)), jnp.float32)
     size_bias = jnp.log(size[:, :, 0])[:, None, None, :]
 
-    ref = common.attention_core(q, k, v, 0.125, size_bias, bias_excludes_first=True)
+    ref = _excluded_bias_scatter_oracle(q, k, v, 0.125, size_bias)
     monkeypatch.setattr(common, "_on_tpu", lambda: True)  # kernel path, interpreted
+    monkeypatch.setattr(common, "_FLASH_MIN_SEQ_BIASED", 160)
     got = common.attention_core(q, k, v, 0.125, size_bias, bias_excludes_first=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
 
 
+def test_attention_core_excluded_bias_fused_einsum():
+    """The fused rank-1 masked-bias einsum (row_mask ⊗ [0, log s]) must
+    match the scatter oracle exactly — this is the path every merged
+    TimeSformer layer takes (N <= 197 is below the kernel threshold)."""
+    import vtm.models.common as common
+
+    b, h, n, d = 2, 3, 197, 64
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    size = jnp.asarray(rng.uniform(1, 4, (b, n - 1, 1)), jnp.float32)
+    size_bias = jnp.log(size[:, :, 0])[:, None, None, :]
+
+    ref = _excluded_bias_scatter_oracle(q, k, v, 0.125, size_bias)
+    got = common.attention_core(q, k, v, 0.125, size_bias, bias_excludes_first=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize(
-    "f,s",
+    "f,s,h",
     [
-        (8, 5),    # nq8=40 < 128: padded-block fallback
-        (4, 50),   # nq8=200: exact-divisor block (blk_q_eff=200, no q pad)
-        (8, 193),  # nq8=1544=8*193: no aligned divisor -> padded fallback
+        (8, 5, 3),    # nq8=40 < 128: padded-block fallback (odd h: per-head grid)
+        (4, 50, 3),   # nq8=200: exact-divisor block (blk_q_eff=200, no q pad)
+        (8, 193, 3),  # nq8=1544=8*193: no aligned divisor -> padded fallback
+        (8, 5, 4),    # even h: token-major head-pair grid
+        (4, 50, 2),
+        (8, 193, 4),
     ],
 )
 @pytest.mark.parametrize("with_bias", [False, True])
-def test_frame_kernel_matches_reference(with_bias, f, s):
+def test_frame_kernel_matches_reference(with_bias, f, s, h):
     from vtm.ops.flash_attention import _frame_reference, tome_frame_attention
 
-    b, h, d = 2, 3, 16
+    b, d = 2, 16
     n = f * s
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)

@@ -442,6 +442,106 @@ def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
     return jnp.transpose(out, (0, 3, 2, 1, 4))  # [B, N, F, H, d]
 
 
+def _make_frame_tm_kernel(frames: int, s_pad: int):
+    def _frame_tm_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        """One (b, q-block, head-pair) program of per-frame attention
+        writing TOKEN-MAJOR output. The pair's two heads each do one
+        whole-row QK matmul; per frame their PV outputs concatenate
+        into a [blk_q, 128] lane-aligned column write. The out array is
+        [B, nq_pad, f, (h//2)*128] and each program's index map owns a
+        static 128-wide column block — the model consumes the result as
+        [B, N, F, D] with NO epilogue transpose (the old per-head grid
+        needed a [b*h, f, n, d] -> [B, N, F, h, d] transpose: 154 MB at
+        ViT-B, the largest remaining layout copy per layer)."""
+        outs = []
+        for j in range(2):
+            q = q_ref[0, j]  # [blk_q, d] (pre-scaled)
+            k = k_ref[0, j]  # [n_pad, d]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [blk_q, n_pad]
+            s = s + bias_ref[0]  # [1, n_pad] broadcast (-1e30 at pad keys)
+            per_frame = []
+            for fi in range(frames):
+                sf = s[:, fi * s_pad : (fi + 1) * s_pad]
+                m = jnp.max(sf, axis=-1, keepdims=True)
+                p = jnp.exp(sf - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(v_ref.dtype),
+                    v_ref[0, j, fi * s_pad : (fi + 1) * s_pad, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                per_frame.append(o / denom)
+            outs.append(per_frame)
+        for fi in range(frames):
+            o_ref[0, :, fi, :] = jnp.concatenate(
+                [outs[0][fi], outs[1][fi]], axis=-1
+            ).astype(o_ref.dtype)
+
+    return _frame_tm_kernel
+
+
+def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
+    """Token-major-output variant of ``_frame_forward`` for EVEN head
+    counts: grid (b, q-block, head-pair), out [B, nq_pad, f, h*d] with
+    head-major columns — a free reshape to the model's [B, N, F, D]."""
+    b, h, n, d = q.shape
+    f = frames
+    s_len = n // f
+    s_pad = -(-s_len // _LANE) * _LANE
+    n_pad = s_pad * f
+    # two fp32 logits tiles live per program
+    blk_q_eff = _frame_blk_q(n, 2 * n_pad, blk_q)
+    nq_pad = -(-n // blk_q_eff) * blk_q_eff
+    dtype = q.dtype
+
+    qs = (q * sm_scale).reshape(b, h, n, d)
+    if nq_pad != n:
+        qs = jnp.pad(qs, [(0, 0), (0, 0), (0, nq_pad - n), (0, 0)])
+    ks = k.reshape(b, h, f, s_len, d)
+    vs = v.reshape(b, h, f, s_len, d)
+    if s_pad != s_len:
+        ks = jnp.pad(ks, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
+        vs = jnp.pad(vs, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
+    ks = ks.reshape(b, h, n_pad, d)
+    vs = vs.reshape(b, h, n_pad, d)
+
+    bias = jnp.full((b, f, s_pad), -1e30, jnp.float32)
+    kb = (
+        key_bias.astype(jnp.float32).reshape(b, f, s_len)
+        if key_bias is not None
+        else jnp.zeros((b, f, s_len), jnp.float32)
+    )
+    bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
+
+    grid = (b, nq_pad // blk_q_eff, h // 2)
+    out = pl.pallas_call(
+        _make_frame_tm_kernel(f, s_pad),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, qi, hp: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, qi, hp: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, qi, hp: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bi, qi, hp: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, blk_q_eff, f, 2 * d),
+            lambda bi, qi, hp: (bi, qi, 0, hp),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, f, h * d), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * nq_pad * n_pad * d,
+            bytes_accessed=(3 * b * h * n_pad * d + b * nq_pad * f * h * d) * 2,
+            transcendentals=b * h * nq_pad * n_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias)
+    return out[:, :n].reshape(b, n, f, h, d)
+
+
 def _frame_reference(q, k, v, key_bias, sm_scale, frames):
     b, h, n, d = q.shape
     f = frames
@@ -468,12 +568,21 @@ def tome_frame_attention(
     """Per-frame softmax attention, fused: returns token-major
     [B, N, F, H, d] (q/k/v: [B, H, N, d] with keys frame-major;
     key_bias: [B, N]). ``blk_q`` is an upper bound — the actual block
-    is the largest exact divisor of ceil8(N) (see ``_frame_blk_q``)."""
+    is the largest exact divisor of ceil8(N) (see ``_frame_blk_q``).
+    Even head counts take the head-pair grid whose output is already
+    token-major in HBM (``_frame_forward_tm``); odd counts keep the
+    per-head grid + epilogue transpose."""
+    return _frame_dispatch(q, k, v, key_bias, sm_scale, frames, blk_q)
+
+
+def _frame_dispatch(q, k, v, key_bias, sm_scale, frames, blk_q):
+    if q.shape[1] % 2 == 0:
+        return _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q)
     return _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q)
 
 
 def _frame_fwd(q, k, v, key_bias, sm_scale, frames, blk_q):
-    return _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q), (q, k, v, key_bias)
+    return _frame_dispatch(q, k, v, key_bias, sm_scale, frames, blk_q), (q, k, v, key_bias)
 
 
 def _frame_bwd(sm_scale, frames, blk_q, res, g):

@@ -134,48 +134,54 @@ def main():
            "families": {}}
     rng = np.random.default_rng(0)
     for family in families:
-        base, shape = build(family, merged=False)
-        x = jnp.asarray(
-            rng.standard_normal((batch,) + shape), jnp.float32
-        )
-        params = base.init(jax.random.key(0), x[:1])["params"]
-
-        def cps(module):
-            secs = chained_seconds(
-                lambda p, v: module.apply({"params": p}, v)[0], x, iters,
-                rtt=rtt, params=params,
-            )
-            return batch * iters / secs
-
-        base_cps = cps(base)
-        merged_mod, _ = build(family, merged=True)
-        merged_cps = cps(merged_mod)
-        row = dict(
-            baseline_clips_per_sec=round(base_cps, 2),
-            merged_clips_per_sec=round(merged_cps, 2),
-            speedup=round(merged_cps / base_cps, 4),
-        )
+        # one family's failure (e.g. a compile error) must not destroy
+        # the whole artifact: record the error row, write what we have
+        # so far, and keep going (a VMEM-OOM on family 4 once cost the
+        # entire 35-minute run)
         try:
-            fb = program_flops(base, params, x)
-            fm = program_flops(merged_mod, params, x)
-            row.update(
-                flops_per_clip_baseline=fb / batch,
-                flops_per_clip_merged=fm / batch,
-                flop_ideal_speedup=round(fb / fm, 4),
-                pct_of_flop_ideal=round(
-                    (merged_cps / base_cps) / (fb / fm) * 100, 1
-                ),
-                mfu_baseline=round(fb * base_cps / batch / 1e12 / peak, 4),
-                mfu_merged=round(fm * merged_cps / batch / 1e12 / peak, 4),
+            base, shape = build(family, merged=False)
+            x = jnp.asarray(
+                rng.standard_normal((batch,) + shape), jnp.float32
             )
+            params = base.init(jax.random.key(0), x[:1])["params"]
+
+            def cps(module):
+                secs = chained_seconds(
+                    lambda p, v: module.apply({"params": p}, v)[0], x, iters,
+                    rtt=rtt, params=params,
+                )
+                return batch * iters / secs
+
+            base_cps = cps(base)
+            merged_mod, _ = build(family, merged=True)
+            merged_cps = cps(merged_mod)
+            row = dict(
+                baseline_clips_per_sec=round(base_cps, 2),
+                merged_clips_per_sec=round(merged_cps, 2),
+                speedup=round(merged_cps / base_cps, 4),
+            )
+            try:
+                fb = program_flops(base, params, x)
+                fm = program_flops(merged_mod, params, x)
+                row.update(
+                    flops_per_clip_baseline=fb / batch,
+                    flops_per_clip_merged=fm / batch,
+                    flop_ideal_speedup=round(fb / fm, 4),
+                    pct_of_flop_ideal=round(
+                        (merged_cps / base_cps) / (fb / fm) * 100, 1
+                    ),
+                    mfu_baseline=round(fb * base_cps / batch / 1e12 / peak, 4),
+                    mfu_merged=round(fm * merged_cps / batch / 1e12 / peak, 4),
+                )
+            except Exception as e:
+                row["flops_error"] = f"{type(e).__name__}: {e}"
         except Exception as e:
-            row["flops_error"] = f"{type(e).__name__}: {e}"
+            row = {"error": f"{type(e).__name__}: {str(e)[:500]}"}
         out["families"][family] = row
         print(json.dumps({family: row}), flush=True)
-
-    (REPO / "BENCH_FAMILIES.json").write_text(
-        json.dumps(out, indent=1) + "\n"
-    )
+        (REPO / "BENCH_FAMILIES.json").write_text(
+            json.dumps(out, indent=1) + "\n"
+        )
 
 
 if __name__ == "__main__":

@@ -144,6 +144,7 @@ def test_attention_core_excluded_bias_fused_einsum():
         (8, 5, 4),    # even h: token-major head-pair grid
         (4, 50, 2),
         (8, 193, 4),
+        (5, 8, 4),    # odd frame count: fcs=1 frame chunks
     ],
 )
 @pytest.mark.parametrize("with_bias", [False, True])

@@ -368,13 +368,13 @@ def _make_frame_kernel(frames: int, s_pad: int):
     return _frame_kernel
 
 
-def _frame_blk_q(n: int, n_pad: int, blk_q: int) -> int:
+def _frame_blk_q(n: int, n_pad: int, blk_q: int, budget: int = 6_500_000) -> int:
     """Largest q block <= blk_q that divides ceil8(n) exactly (kills q
     padding — 1568 pads 30% to 2048 otherwise) and whose fp32 logits
     tile [blk_q, n_pad] stays within a VMEM budget; falls back to a
     padded 128-multiple block when no divisor exists."""
     nq8 = -(-n // 8) * 8
-    cap = min(blk_q, nq8, max(128, (6_500_000 // (n_pad * 4)) // 8 * 8))
+    cap = min(blk_q, nq8, max(128, (budget // (n_pad * 4)) // 8 * 8))
     for c in range(cap - cap % 8, 127, -8):
         if nq8 % c == 0:
             return c
@@ -453,17 +453,22 @@ def _make_frame_tm_kernel(frames: int, s_pad: int):
         [B, N, F, D] with NO epilogue transpose (the old per-head grid
         needed a [b*h, f, n, d] -> [B, N, F, h, d] transpose: 154 MB at
         ViT-B, the largest remaining layout copy per layer)."""
-        outs = []
+        # both heads' logits tiles upfront (two big QK matmuls), then one
+        # pass over frames writing each pair-column immediately — nothing
+        # accumulates across the frame loop (holding all f x 2 PV outputs
+        # live pushed the Mosaic scoped-VMEM stack past 16 MB in-model)
+        ss = []
         for j in range(2):
             q = q_ref[0, j]  # [blk_q, d] (pre-scaled)
             k = k_ref[0, j]  # [n_pad, d]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # [blk_q, n_pad]
-            s = s + bias_ref[0]  # [1, n_pad] broadcast (-1e30 at pad keys)
-            per_frame = []
-            for fi in range(frames):
-                sf = s[:, fi * s_pad : (fi + 1) * s_pad]
+            ss.append(s + bias_ref[0])  # [1, n_pad] broadcast (-1e30 at pads)
+        for fi in range(frames):
+            cols = []
+            for j in range(2):
+                sf = ss[j][:, fi * s_pad : (fi + 1) * s_pad]
                 m = jnp.max(sf, axis=-1, keepdims=True)
                 p = jnp.exp(sf - m)
                 denom = jnp.sum(p, axis=-1, keepdims=True)
@@ -473,27 +478,31 @@ def _make_frame_tm_kernel(frames: int, s_pad: int):
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                per_frame.append(o / denom)
-            outs.append(per_frame)
-        for fi in range(frames):
-            o_ref[0, :, fi, :] = jnp.concatenate(
-                [outs[0][fi], outs[1][fi]], axis=-1
-            ).astype(o_ref.dtype)
+                cols.append(o / denom)
+            o_ref[0, :, 0, fi, :] = jnp.concatenate(cols, axis=-1).astype(o_ref.dtype)
 
     return _frame_tm_kernel
 
 
 def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     """Token-major-output variant of ``_frame_forward`` for EVEN head
-    counts: grid (b, q-block, head-pair), out [B, nq_pad, f, h*d] with
-    head-major columns — a free reshape to the model's [B, N, F, D]."""
+    counts: grid (b, q-block, head-pair, frame-chunk), out
+    [B, nq_pad, f, h*d] with head-major columns — a free reshape to the
+    model's [B, N, F, D]. The frame-chunk grid dim keeps K/V blocks and
+    logits tiles small: the scoped-VMEM stack is SHARED with XLA's
+    overlapped copies in-model, and full-f K/V blocks (2 x 1 MB double-
+    buffered) plus two whole-row fp32 logits tiles blew the 16 MB limit
+    inside the merged Motionformer program (~6 MB total at fcs=2,
+    blk_q=784)."""
     b, h, n, d = q.shape
     f = frames
+    fcs = 2 if f % 2 == 0 else 1  # frames per grid step
     s_len = n // f
     s_pad = -(-s_len // _LANE) * _LANE
     n_pad = s_pad * f
-    # two fp32 logits tiles live per program
-    blk_q_eff = _frame_blk_q(n, 2 * n_pad, blk_q)
+    c_pad = s_pad * fcs
+    # two fp32 [blk_q, c_pad] logits tiles live per program
+    blk_q_eff = _frame_blk_q(n, 2 * c_pad, blk_q)
     nq_pad = -(-n // blk_q_eff) * blk_q_eff
     dtype = q.dtype
 
@@ -516,22 +525,26 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     )
     bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
 
-    grid = (b, nq_pad // blk_q_eff, h // 2)
+    grid = (b, nq_pad // blk_q_eff, h // 2, f // fcs)
     out = pl.pallas_call(
-        _make_frame_tm_kernel(f, s_pad),
+        _make_frame_tm_kernel(fcs, s_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, qi, hp: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, n_pad, d), lambda bi, qi, hp: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, n_pad, d), lambda bi, qi, hp: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda bi, qi, hp: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, qi, hp, fc: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_pad), lambda bi, qi, hp, fc: (bi, 0, fc), memory_space=pltpu.VMEM),
         ],
+        # 5-D out so the chunked frame dim is an actual array dim (the
+        # Mosaic block rule wants the last-two block dims ÷(8,128) or
+        # equal to the array dims; (fcs, 128) qualifies by equality) —
+        # [B, nq, f//fcs, fcs, (h//2)*128] reshapes freely to [B,N,F,D]
         out_specs=pl.BlockSpec(
-            (1, blk_q_eff, f, 2 * d),
-            lambda bi, qi, hp: (bi, qi, 0, hp),
+            (1, blk_q_eff, 1, fcs, 2 * d),
+            lambda bi, qi, hp, fc: (bi, qi, fc, 0, hp),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nq_pad, f, h * d), dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, f // fcs, fcs, h * d), dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * nq_pad * n_pad * d,
             bytes_accessed=(3 * b * h * n_pad * d + b * nq_pad * f * h * d) * 2,

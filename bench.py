@@ -102,17 +102,27 @@ def nominal_or_probe_peak(device_kind: str, probe: float) -> float:
     return probe
 
 
-def _probe_device(timeout_s: int = 120, attempts: int = 8) -> None:
-    """Fail (exit 3) only after ~30 min of patience if the TPU lease is
-    wedged — a killed process with dispatched-but-unfetched remote work
-    can hang every subsequent fetch (see CLAUDE.md), but the lease
-    RECOVERS on its own (observed tens of minutes) and FLAPS while
-    doing so. A benchmark that waits out the recovery and produces a
-    number beats a fast clean failure (the round-2 contract artifact
-    was lost to exactly this)."""
+def _probe_device(timeout_s: int = 120, attempts: int = 2) -> None:
+    """Wait out a wedged TPU lease; fail (exit 3) only after the full
+    patience window (VTM_BENCH_PROBE_PATIENCE_SECS, default 45 min).
+
+    A killed process with dispatched-but-unfetched remote work hangs
+    every subsequent fetch (see CLAUDE.md) until the lease recovers on
+    its own — and every probe that is timeout-KILLED mid-fetch leaves
+    its *own* unfetched op behind, prolonging exactly the wedge it is
+    probing (observed in round 3: 2-min probe cadence stretched a
+    recovery from tens of minutes to hours). So: a couple of quick
+    killed probes catch the healthy/flapping case fast, then ONE
+    patient probe that is never killed — it blocks until the lease
+    frees and fetches cleanly. If patience runs out it is left running
+    detached (its eventual clean fetch helps recovery, and killing it
+    would hurt)."""
     import subprocess
     import time as _time
 
+    patience_s = int(
+        os.environ.get("VTM_BENCH_PROBE_PATIENCE_SECS", "2700")
+    )
     code = (
         "import sys; sys.path.insert(0, %r)\n"
         "from vtm.utils.env import setup_environment\n"
@@ -136,10 +146,37 @@ def _probe_device(timeout_s: int = 120, attempts: int = 8) -> None:
             )
             sys.stderr.flush()
         if attempt + 1 < attempts:
-            _time.sleep(min(60 * (attempt + 1), 240))
+            _time.sleep(60)
+
     sys.stderr.write(
-        "bench.py: the TPU lease appears wedged (stale dispatched work "
-        "from a killed process); retry once it clears.\n"
+        f"bench.py: lease looks wedged; waiting it out with one "
+        f"un-killed probe (patience {patience_s}s)\n"
+    )
+    sys.stderr.flush()
+
+    def launch():
+        return subprocess.Popen(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True,
+        )
+
+    patient = launch()
+    deadline = _time.monotonic() + patience_s
+    while _time.monotonic() < deadline:
+        rc = patient.poll()
+        if rc == 0:
+            return
+        if rc is not None:
+            # crashed (a flapping lease errors fast rather than
+            # hanging): back off, then relaunch
+            _time.sleep(60)
+            patient = launch()
+        _time.sleep(10)
+    sys.stderr.write(
+        "bench.py: the TPU lease is still wedged after the patience "
+        "window; leaving the probe running detached (its eventual clean "
+        "fetch helps recovery — killing it would not) and exiting 3.\n"
     )
     sys.exit(3)
 

@@ -166,3 +166,43 @@ def test_frame_kernel_matches_reference(with_bias, f, s, h):
     got = np.asarray(tome_frame_attention(q, k, v, bias, 0.25, f))
     assert got.shape == (b, n, f, h, d)
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "f,s,blk_q",
+    [
+        (8, 196, 784),   # Motionformer ViT-B/224 production shape
+        (8, 256, 784),   # s at the pad boundary
+        (16, 196, 784),  # 16-frame variant
+        (8, 49, 784),    # small spatial grid
+    ],
+)
+def test_frame_tm_kernel_vmem_footprint_bounded(f, s, blk_q):
+    """Regression tripwire for the scoped-VMEM OOM: the token-major
+    kernel once held full-f K/V blocks + two whole-row fp32 logits
+    tiles per program, which blew Mosaic's 16 MB scoped-VMEM stack
+    inside the merged Motionformer program (22.9 MB at B8 H12 N1568
+    f8). Recompute the per-program block footprint from the same
+    parameter choices the kernel makes and assert it stays well under
+    the limit (<= 8 MB, leaving headroom for XLA's overlapped copies
+    that share the stack in-model)."""
+    from vtm.ops.flash_attention import _LANE, _frame_blk_q
+
+    d = 64
+    n = f * s
+    fcs = 2 if f % 2 == 0 else 1
+    s_pad = -(-s // _LANE) * _LANE
+    c_pad = s_pad * fcs
+    blk_q_eff = _frame_blk_q(n, 2 * c_pad, blk_q)
+
+    # per-program VMEM blocks, double-buffered (x2) for grid pipelining
+    q_blk = 2 * blk_q_eff * d * 2          # [1, 2, blk_q, d] bf16
+    kv_blk = 2 * (2 * c_pad * d * 2)       # K and V [1, 2, c_pad, d] bf16
+    bias_blk = c_pad * 4                   # [1, 1, c_pad] fp32
+    out_blk = blk_q_eff * fcs * 2 * d * 2  # [1, blk_q, 1, fcs, 2d] bf16
+    logits = 2 * blk_q_eff * c_pad * 4     # two fp32 scratch tiles
+    total = 2 * (q_blk + kv_blk + bias_blk + out_blk) + logits
+    assert total <= 8 * 1024 * 1024, (
+        f"f={f} s={s}: per-program VMEM {total / 1e6:.1f} MB "
+        f"(blk_q_eff={blk_q_eff}, c_pad={c_pad})"
+    )

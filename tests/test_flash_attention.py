@@ -169,6 +169,55 @@ def test_frame_kernel_matches_reference(with_bias, f, s, h):
 
 
 @pytest.mark.parametrize(
+    "f,s,h,with_bias",
+    [
+        (8, 40, 4, True),    # even h: fused head-pair bwd kernel
+        (8, 40, 4, False),
+        (4, 50, 2, True),    # exact-divisor q block
+        (5, 8, 4, True),     # odd frame count
+        (8, 40, 3, True),    # odd h: dense-recompute fallback
+        (8, 300, 4, True),   # f*s_pad > 2048: fallback on long rows
+    ],
+)
+def test_frame_kernel_gradients_match_reference(f, s, h, with_bias):
+    """Fused per-frame backward (head-pair grid, q-block accumulation,
+    per-frame softmax recompute) vs the dense reference vjp — padded
+    queries/keys must contribute zero grad and the key_bias cotangent
+    must fold the per-frame pad columns away."""
+    from vtm.ops.flash_attention import _frame_reference, tome_frame_attention
+
+    b, d = 2, 16
+    n = f * s
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = (
+        jnp.asarray(np.log(rng.uniform(1, 5, (b, n))), jnp.float32)
+        if with_bias
+        else None
+    )
+    cot = jnp.asarray(rng.standard_normal((b, n, f, h, d)), jnp.float32)
+
+    def loss(fn):
+        def inner(q_, k_, v_, b_):
+            return (fn(q_, k_, v_, b_, 0.25, f) * cot).sum()
+
+        return inner
+
+    argnums = (0, 1, 2) + ((3,) if with_bias else ())
+    got = jax.grad(loss(tome_frame_attention), argnums=argnums)(q, k, v, bias)
+    ref = jax.grad(
+        loss(lambda q_, k_, v_, b_, s_, f_: _frame_reference(q_, k_, v_, b_, s_, f_)),
+        argnums=argnums,
+    )(q, k, v, bias)
+    for name, a, b_ in zip(["dq", "dk", "dv", "dbias"], got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
+@pytest.mark.parametrize(
     "f,s,blk_q",
     [
         (8, 196, 784),   # Motionformer ViT-B/224 production shape

@@ -555,6 +555,185 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     return out[:, :n].reshape(b, n, f, h, d)
 
 
+def _make_frame_bwd_kernel(frames: int, s_pad: int, scale: float):
+    def _frame_bwd_kernel(
+        q_ref, k_ref, v_ref, bias_ref, do_ref,
+        dq_ref, dk_ref, dv_ref, db_ref,
+    ):
+        """One (b, head-pair, q-block) program of the fused per-frame
+        backward. Per head and frame: recompute the softmax row (tiles
+        are only [blk_q, s_pad] — the whole-row [blk_q, n_pad] fp32
+        logits of the dense backward never materialise), then the
+        standard flash bwd algebra
+          ds = p * (dp - rowsum(p*dp)),  dp = do v^T
+          dq += scale * ds k ;  dk += scale * ds^T q ;  dv += p^T do ;
+          dbias += colsum(ds).
+        dk/dv/db index maps are constant along the q-block grid dim
+        (innermost), so the accumulators stay VMEM-resident across
+        sequential q blocks — the same residency scheme as the dense
+        ``_bwd_kernel``. ``do`` arrives head-major [b, h, f, nq, d] (one
+        transpose outside the kernel) so every block slice is a clean
+        (blk_q, d) tile."""
+        qi = pl.program_id(2)
+        for j in range(2):
+            q = q_ref[0, j]  # [blk_q, d] (unscaled)
+            k = k_ref[0, j]  # [n_pad, d]
+            v = v_ref[0, j]
+            dq_acc = None
+            for fi in range(frames):
+                lo, hi = fi * s_pad, (fi + 1) * s_pad
+                kf = k[lo:hi]  # [s_pad, d]
+                vf = v[lo:hi]
+                sf = (
+                    jax.lax.dot_general(
+                        q, kf, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias_ref[0][:, lo:hi]  # [1, s_pad] broadcast
+                )
+                m = jnp.max(sf, axis=-1, keepdims=True)
+                p = jnp.exp(sf - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32
+                dof = do_ref[0, j, fi]  # [blk_q, d]
+                dp = jax.lax.dot_general(
+                    dof, vf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [blk_q, s_pad]
+                delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+                ds = p * (dp - delta)
+                p_lo = p.astype(dof.dtype)
+                ds_lo = ds.astype(dof.dtype)
+                dq_par = (
+                    jax.lax.dot_general(
+                        ds_lo, kf, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )
+                dq_acc = dq_par if dq_acc is None else dq_acc + dq_par
+                dk_f = (
+                    jax.lax.dot_general(
+                        ds_lo, q, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # [s_pad, d]
+                dv_f = jax.lax.dot_general(
+                    p_lo, dof, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                db_f = jnp.sum(ds, axis=0, keepdims=True)  # [1, s_pad]
+
+                @pl.when(qi == 0)
+                def _():
+                    dk_ref[0, j, lo:hi] = dk_f
+                    dv_ref[0, j, lo:hi] = dv_f
+
+                @pl.when(qi > 0)
+                def _():
+                    dk_ref[0, j, lo:hi] += dk_f
+                    dv_ref[0, j, lo:hi] += dv_f
+
+                first = jnp.logical_and(qi == 0, j == 0)
+
+                @pl.when(first)
+                def _():
+                    db_ref[0, :, lo:hi] = db_f
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    db_ref[0, :, lo:hi] += db_f
+            dq_ref[0, j] = dq_acc.astype(dq_ref.dtype)
+
+    return _frame_bwd_kernel
+
+
+def _frame_backward_tm(q, k, v, key_bias, g, sm_scale, frames, blk_q=256):
+    """Fused backward for even head counts (head-pair grid like the
+    forward). ``g`` is the token-major cotangent [B, N, F, H, d]."""
+    b, h, n, d = q.shape
+    f = frames
+    s_len = n // f
+    s_pad = -(-s_len // _LANE) * _LANE
+    n_pad = s_pad * f
+    blk_q_eff = _frame_blk_q(n, 3 * s_pad, blk_q)
+    nq_pad = -(-n // blk_q_eff) * blk_q_eff
+    dtype = q.dtype
+
+    qs = q
+    if nq_pad != n:
+        qs = jnp.pad(qs, [(0, 0), (0, 0), (0, nq_pad - n), (0, 0)])
+    ks = k.reshape(b, h, f, s_len, d)
+    vs = v.reshape(b, h, f, s_len, d)
+    if s_pad != s_len:
+        ks = jnp.pad(ks, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
+        vs = jnp.pad(vs, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
+    ks = ks.reshape(b, h, n_pad, d)
+    vs = vs.reshape(b, h, n_pad, d)
+
+    # one head-major transpose of the cotangent outside the kernel buys
+    # clean (blk_q, d) do tiles inside (64-lane intra-register head
+    # slices of the token-major layout are not Mosaic-safe)
+    gs = g
+    if nq_pad != n:
+        gs = jnp.pad(gs, [(0, 0), (0, nq_pad - n), (0, 0), (0, 0), (0, 0)])
+    gs = jnp.transpose(gs, (0, 3, 2, 1, 4))  # [B, H, F, nq_pad, d]
+
+    bias = jnp.full((b, f, s_pad), -1e30, jnp.float32)
+    kb = (
+        key_bias.astype(jnp.float32).reshape(b, f, s_len)
+        if key_bias is not None
+        else jnp.zeros((b, f, s_len), jnp.float32)
+    )
+    bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
+
+    grid = (b, h // 2, nq_pad // blk_q_eff)
+    dq, dk, dv, db = pl.pallas_call(
+        _make_frame_bwd_kernel(f, s_pad, sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, hp, qi: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bi, hp, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, f, blk_q_eff, d), lambda bi, hp, qi: (bi, hp, 0, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, hp, qi: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda bi, hp, qi: (bi, hp, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nq_pad, d), dtype),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h // 2, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * nq_pad * n_pad * d,
+            bytes_accessed=(7 * b * h * n_pad * d) * 2,
+            transcendentals=b * h * nq_pad * n_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias, gs)
+
+    dq = dq[:, :, :n, :]
+    dk = dk.reshape(b, h, f, s_pad, d)[:, :, :, :s_len].reshape(b, h, n, d)
+    dv = dv.reshape(b, h, f, s_pad, d)[:, :, :, :s_len].reshape(b, h, n, d)
+    if key_bias is None:
+        dbias = None
+    else:
+        dbias = (
+            db.sum(axis=1)
+            .reshape(b, f, s_pad)[:, :, :s_len]
+            .reshape(b, n)
+            .astype(key_bias.dtype)
+        )
+    return dq, dk.astype(dtype), dv.astype(dtype), dbias
+
+
 def _frame_reference(q, k, v, key_bias, sm_scale, frames):
     b, h, n, d = q.shape
     f = frames
@@ -600,6 +779,13 @@ def _frame_fwd(q, k, v, key_bias, sm_scale, frames, blk_q):
 
 def _frame_bwd(sm_scale, frames, blk_q, res, g):
     q, k, v, key_bias = res
+    s_pad = -(-(q.shape[2] // frames) // _LANE) * _LANE
+    if q.shape[1] % 2 == 0 and frames * s_pad <= 2048:
+        # fused kernel: per-frame softmax recompute in [blk_q, s_pad]
+        # tiles — the dense-reference vjp below materialises the whole
+        # [b, h, n, n] fp32 logits (945 MB at ViT-B/224 f8) per layer
+        return _frame_backward_tm(q, k, v, key_bias, g, sm_scale, frames)
+    # odd head counts / very long rows: dense recompute fallback
     _, vjp = jax.vjp(
         lambda q_, k_, v_, b_: _frame_reference(q_, k_, v_, b_, sm_scale, frames),
         q, k, v, key_bias,

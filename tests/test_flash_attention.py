@@ -168,6 +168,26 @@ def test_frame_kernel_matches_reference(with_bias, f, s, h):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("group", [2, 3, 4, 6, 12])
+def test_frame_tm_kernel_head_group_sizes(group, monkeypatch):
+    """The token-major kernel's head-group size (VTM_FRAME_TM_GROUP,
+    the output-DMA-width / logits-VMEM tradeoff) must not change
+    results for any divisor of h."""
+    from vtm.ops.flash_attention import _frame_forward_tm, _frame_reference
+
+    monkeypatch.setenv("VTM_FRAME_TM_GROUP", str(group))
+    b, h, f, s, d = 2, 12, 4, 50, 16
+    n = f * s
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = jnp.asarray(np.log(rng.uniform(1, 4, (b, n))), jnp.float32)
+    ref = np.asarray(_frame_reference(q, k, v, bias, 0.25, f))
+    got = np.asarray(_frame_forward_tm(q, k, v, bias, 0.25, f, 784))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize(
     "f,s,h,with_bias",
     [

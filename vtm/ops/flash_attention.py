@@ -27,6 +27,7 @@ recompute backward (its N is small).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -442,23 +443,27 @@ def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
     return jnp.transpose(out, (0, 3, 2, 1, 4))  # [B, N, F, H, d]
 
 
-def _make_frame_tm_kernel(frames: int, s_pad: int):
+def _make_frame_tm_kernel(frames: int, s_pad: int, group: int = 2):
     def _frame_tm_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
-        """One (b, q-block, head-pair) program of per-frame attention
-        writing TOKEN-MAJOR output. The pair's two heads each do one
+        """One (b, q-block, head-group) program of per-frame attention
+        writing TOKEN-MAJOR output. Each of the group's heads does one
         whole-row QK matmul; per frame their PV outputs concatenate
-        into a [blk_q, 128] lane-aligned column write. The out array is
-        [B, nq_pad, f, (h//2)*128] and each program's index map owns a
-        static 128-wide column block — the model consumes the result as
-        [B, N, F, D] with NO epilogue transpose (the old per-head grid
-        needed a [b*h, f, n, d] -> [B, N, F, h, d] transpose: 154 MB at
-        ViT-B, the largest remaining layout copy per layer)."""
-        # both heads' logits tiles upfront (two big QK matmuls), then one
-        # pass over frames writing each pair-column immediately — nothing
-        # accumulates across the frame loop (holding all f x 2 PV outputs
-        # live pushed the Mosaic scoped-VMEM stack past 16 MB in-model)
+        into a [blk_q, group*d] lane-aligned column write. The out
+        array is [B, nq_pad, f, h*d] and each program's index map owns
+        a static group*d-wide column block — the model consumes the
+        result as [B, N, F, D] with NO epilogue transpose (the old
+        per-head grid needed a [b*h, f, n, d] -> [B, N, F, h, d]
+        transpose: 154 MB at ViT-B, the largest remaining layout copy
+        per layer). Wider groups write wider contiguous DMA chunks
+        (group*d*2 bytes of the 768-lane minor dim) at the cost of
+        `group` fp32 logits tiles per program (smaller blk_q)."""
+        # all heads' logits tiles upfront (big QK matmuls), then one
+        # pass over frames writing each group-column immediately — nothing
+        # accumulates across the frame loop (holding all f x group PV
+        # outputs live pushed the Mosaic scoped-VMEM stack past 16 MB
+        # in-model)
         ss = []
-        for j in range(2):
+        for j in range(group):
             q = q_ref[0, j]  # [blk_q, d] (pre-scaled)
             k = k_ref[0, j]  # [n_pad, d]
             s = jax.lax.dot_general(
@@ -467,7 +472,7 @@ def _make_frame_tm_kernel(frames: int, s_pad: int):
             ss.append(s + bias_ref[0])  # [1, n_pad] broadcast (-1e30 at pads)
         for fi in range(frames):
             cols = []
-            for j in range(2):
+            for j in range(group):
                 sf = ss[j][:, fi * s_pad : (fi + 1) * s_pad]
                 m = jnp.max(sf, axis=-1, keepdims=True)
                 p = jnp.exp(sf - m)
@@ -484,9 +489,18 @@ def _make_frame_tm_kernel(frames: int, s_pad: int):
     return _frame_tm_kernel
 
 
+def _frame_tm_group(h: int) -> int:
+    """Heads per program for the token-major kernel. Default 2 (the
+    measured production choice); VTM_FRAME_TM_GROUP overrides for
+    on-chip A/B (wider groups -> wider contiguous output-DMA chunks,
+    more fp32 logits VMEM -> smaller blk_q)."""
+    g = int(os.environ.get("VTM_FRAME_TM_GROUP", "2"))
+    return g if g > 0 and h % g == 0 else 2
+
+
 def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     """Token-major-output variant of ``_frame_forward`` for EVEN head
-    counts: grid (b, q-block, head-pair, frame-chunk), out
+    counts: grid (b, q-block, head-group, frame-chunk), out
     [B, nq_pad, f, h*d] with head-major columns — a free reshape to the
     model's [B, N, F, D]. The frame-chunk grid dim keeps K/V blocks and
     logits tiles small: the scoped-VMEM stack is SHARED with XLA's
@@ -496,13 +510,14 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     blk_q=784)."""
     b, h, n, d = q.shape
     f = frames
+    g = _frame_tm_group(h)
     fcs = 2 if f % 2 == 0 else 1  # frames per grid step
     s_len = n // f
     s_pad = -(-s_len // _LANE) * _LANE
     n_pad = s_pad * f
     c_pad = s_pad * fcs
-    # two fp32 [blk_q, c_pad] logits tiles live per program
-    blk_q_eff = _frame_blk_q(n, 2 * c_pad, blk_q)
+    # `g` fp32 [blk_q, c_pad] logits tiles live per program
+    blk_q_eff = _frame_blk_q(n, g * c_pad, blk_q)
     nq_pad = -(-n // blk_q_eff) * blk_q_eff
     dtype = q.dtype
 
@@ -525,22 +540,22 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     )
     bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
 
-    grid = (b, nq_pad // blk_q_eff, h // 2, f // fcs)
+    grid = (b, nq_pad // blk_q_eff, h // g, f // fcs)
     out = pl.pallas_call(
-        _make_frame_tm_kernel(fcs, s_pad),
+        _make_frame_tm_kernel(fcs, s_pad, g),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, qi, hp, fc: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, blk_q_eff, d), lambda bi, qi, hp, fc: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c_pad), lambda bi, qi, hp, fc: (bi, 0, fc), memory_space=pltpu.VMEM),
         ],
         # 5-D out so the chunked frame dim is an actual array dim (the
         # Mosaic block rule wants the last-two block dims ÷(8,128) or
-        # equal to the array dims; (fcs, 128) qualifies by equality) —
-        # [B, nq, f//fcs, fcs, (h//2)*128] reshapes freely to [B,N,F,D]
+        # equal to the array dims; (fcs, g*128) qualifies by equality) —
+        # [B, nq, f//fcs, fcs, (h//g)*g*d] reshapes freely to [B,N,F,D]
         out_specs=pl.BlockSpec(
-            (1, blk_q_eff, 1, fcs, 2 * d),
+            (1, blk_q_eff, 1, fcs, g * d),
             lambda bi, qi, hp, fc: (bi, qi, fc, 0, hp),
             memory_space=pltpu.VMEM,
         ),

@@ -512,6 +512,9 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     f = frames
     g = _frame_tm_group(h)
     fcs = 2 if f % 2 == 0 else 1  # frames per grid step
+    fcs_env = int(os.environ.get("VTM_FRAME_TM_FCS", "0"))
+    if fcs_env > 0 and f % fcs_env == 0:
+        fcs = fcs_env
     s_len = n // f
     s_pad = -(-s_len // _LANE) * _LANE
     n_pad = s_pad * f

@@ -168,15 +168,16 @@ def test_frame_kernel_matches_reference(with_bias, f, s, h):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("group", [2, 3, 4, 6, 12])
+@pytest.mark.parametrize("group", [2, 4, 6, 12])
 def test_frame_tm_kernel_head_group_sizes(group, monkeypatch):
     """The token-major kernel's head-group size (VTM_FRAME_TM_GROUP,
     the output-DMA-width / logits-VMEM tradeoff) must not change
-    results for any divisor of h."""
+    results for any Mosaic-valid divisor of h (g*d % 128 == 0 at
+    d=64, or g == h)."""
     from vtm.ops.flash_attention import _frame_forward_tm, _frame_reference
 
     monkeypatch.setenv("VTM_FRAME_TM_GROUP", str(group))
-    b, h, f, s, d = 2, 12, 4, 50, 16
+    b, h, f, s, d = 1, 12, 4, 50, 64
     n = f * s
     rng = np.random.default_rng(7)
     q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
@@ -186,6 +187,34 @@ def test_frame_tm_kernel_head_group_sizes(group, monkeypatch):
     ref = np.asarray(_frame_reference(q, k, v, bias, 0.25, f))
     got = np.asarray(_frame_forward_tm(q, k, v, bias, 0.25, f, 784))
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_frame_tm_kernel_invalid_overrides_raise(monkeypatch):
+    """Explicit A/B knobs that Mosaic would reject (or that don't
+    divide h / f) must raise, not silently fall back — a silently
+    ignored override corrupts the A/B it exists for."""
+    from vtm.ops.flash_attention import _frame_forward_tm, _frame_tm_group
+
+    b, h, f, s, d = 1, 12, 4, 50, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, h, f * s, d)), jnp.float32)
+
+    monkeypatch.setenv("VTM_FRAME_TM_GROUP", "3")  # 3*64 not ÷128, != h
+    with pytest.raises(ValueError, match="VTM_FRAME_TM_GROUP"):
+        _frame_forward_tm(q, q, q, None, 0.25, f, 784)
+    monkeypatch.setenv("VTM_FRAME_TM_GROUP", "5")  # does not divide h
+    with pytest.raises(ValueError, match="divide h"):
+        _frame_forward_tm(q, q, q, None, 0.25, f, 784)
+    monkeypatch.delenv("VTM_FRAME_TM_GROUP")
+    monkeypatch.setenv("VTM_FRAME_TM_FCS", "3")  # does not divide f=4
+    with pytest.raises(ValueError, match="VTM_FRAME_TM_FCS"):
+        _frame_forward_tm(q, q, q, None, 0.25, f, 784)
+
+    # no-override fallback for small d picks a Mosaic-valid group
+    monkeypatch.delenv("VTM_FRAME_TM_FCS")
+    assert _frame_tm_group(12, 64) == 2
+    assert _frame_tm_group(4, 16) == 4   # g*d==h*d equality case
+    assert _frame_tm_group(12, 32) == 4  # 4*32 == 128
 
 
 @pytest.mark.parametrize(

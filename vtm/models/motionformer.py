@@ -218,7 +218,7 @@ class TrajectoryAttention(nn.Module):
             return out, None
         # metric: (s f) fold of the spatial keys, mean over heads
         # (tome/patch/motionformer.py:143-144)
-        k_mean = k_.mean(axis=1)  # [B, N', hd_total? no: hd]... mean over heads AFTER fold
+        k_mean = k_.mean(axis=1)  # [B, N-1, hd]
         # reference folds per-head keys then means heads; fold is linear so
         # mean-then-fold == fold-then-mean
         metric = _fold_space(k_mean, b, f)  # [(B*F), S, hd]

@@ -20,8 +20,10 @@ with the same whole-K/V-row scheme and accumulates dk/dv/dbias across
 sequential q-block grid steps (their block index is constant along that
 dim, so the accumulators stay resident in VMEM) — train-through-merging
 (`tome_train_*` configs) never materializes [N, N] logits in HBM in
-either direction. The per-frame trajectory kernel keeps an einsum
-recompute backward (its N is small).
+either direction. The per-frame trajectory kernel has its own fused
+backward (``_frame_backward_tm``, per-frame softmax recompute in
+[blk_q, s_pad] tiles); the einsum-recompute vjp survives only as the
+odd-head / very-long-row fallback in ``_frame_bwd``.
 """
 
 from __future__ import annotations
@@ -373,13 +375,47 @@ def _frame_blk_q(n: int, n_pad: int, blk_q: int, budget: int = 6_500_000) -> int
     """Largest q block <= blk_q that divides ceil8(n) exactly (kills q
     padding — 1568 pads 30% to 2048 otherwise) and whose fp32 logits
     tile [blk_q, n_pad] stays within a VMEM budget; falls back to a
-    padded 128-multiple block when no divisor exists."""
+    padded 128-multiple block when no divisor exists. The fallback is
+    capped at the budget too — an uncapped padded block recreates the
+    scoped-VMEM OOM the budget exists to prevent."""
     nq8 = -(-n // 8) * 8
     cap = min(blk_q, nq8, max(128, (budget // (n_pad * 4)) // 8 * 8))
     for c in range(cap - cap % 8, 127, -8):
         if nq8 % c == 0:
             return c
-    return min(blk_q, -(-n // _LANE) * _LANE)
+    return min(blk_q, -(-n // _LANE) * _LANE, cap)
+
+
+def _pad_frames_kv(k, v, frames: int, s_pad: int):
+    """Pad keys/values PER FRAME to ``s_pad`` so frame segments stay
+    contiguous ([..., f*s_len, d] -> [..., f*s_pad, d]); leading dims
+    are preserved. Shared by both frame-kernel forwards and the fused
+    backward — their pad semantics must never diverge."""
+    *lead, n, d = k.shape
+    s_len = n // frames
+    ks = k.reshape(*lead, frames, s_len, d)
+    vs = v.reshape(*lead, frames, s_len, d)
+    if s_pad != s_len:
+        pad = [(0, 0)] * (len(lead) + 1) + [(0, s_pad - s_len), (0, 0)]
+        ks = jnp.pad(ks, pad)
+        vs = jnp.pad(vs, pad)
+    return (
+        ks.reshape(*lead, frames * s_pad, d),
+        vs.reshape(*lead, frames * s_pad, d),
+    )
+
+
+def _frame_key_bias(key_bias, b: int, frames: int, s_len: int, s_pad: int):
+    """[B, 1, f*s_pad] fp32 key bias: the proportional-attention
+    log(size) per key with -1e30 at per-frame pad columns (pad keys
+    get zero softmax weight)."""
+    bias = jnp.full((b, frames, s_pad), -1e30, jnp.float32)
+    kb = (
+        key_bias.astype(jnp.float32).reshape(b, frames, s_len)
+        if key_bias is not None
+        else jnp.zeros((b, frames, s_len), jnp.float32)
+    )
+    return bias.at[:, :, :s_len].set(kb).reshape(b, 1, frames * s_pad)
 
 
 def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
@@ -395,22 +431,10 @@ def _frame_forward(q, k, v, key_bias, sm_scale, frames, blk_q):
     qs = (q * sm_scale).reshape(b * h, n, d)
     if nq_pad != n:
         qs = jnp.pad(qs, [(0, 0), (0, nq_pad - n), (0, 0)])
-    # pad keys/values PER FRAME so frame segments stay contiguous
-    ks = k.reshape(b * h, f, s_len, d)
-    vs = v.reshape(b * h, f, s_len, d)
-    if s_pad != s_len:
-        ks = jnp.pad(ks, [(0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
-        vs = jnp.pad(vs, [(0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
-    ks = ks.reshape(b * h, n_pad, d)
-    vs = vs.reshape(b * h, n_pad, d)
-
-    bias = jnp.full((b, f, s_pad), -1e30, jnp.float32)
-    kb = (
-        key_bias.astype(jnp.float32).reshape(b, f, s_len)
-        if key_bias is not None
-        else jnp.zeros((b, f, s_len), jnp.float32)
+    ks, vs = _pad_frames_kv(
+        k.reshape(b * h, n, d), v.reshape(b * h, n, d), f, s_pad
     )
-    bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
+    bias = _frame_key_bias(key_bias, b, f, s_len, s_pad)
 
     grid = (b * h, nq_pad // blk_q_eff)
     out = pl.pallas_call(
@@ -489,13 +513,33 @@ def _make_frame_tm_kernel(frames: int, s_pad: int, group: int = 2):
     return _frame_tm_kernel
 
 
-def _frame_tm_group(h: int) -> int:
+def _frame_tm_group(h: int, d: int) -> int:
     """Heads per program for the token-major kernel. Default 2 (the
     measured production choice); VTM_FRAME_TM_GROUP overrides for
     on-chip A/B (wider groups -> wider contiguous output-DMA chunks,
-    more fp32 logits VMEM -> smaller blk_q)."""
-    g = int(os.environ.get("VTM_FRAME_TM_GROUP", "2"))
-    return g if g > 0 and h % g == 0 else 2
+    more fp32 logits VMEM -> smaller blk_q).
+
+    Mosaic validity: the out block's last dim g*d must be a multiple
+    of 128 (or equal to the array dim h*d, i.e. g == h). An explicit
+    override that violates divisibility or validity RAISES — a
+    silently ignored knob corrupts the A/B it exists for. Without an
+    override, small-d models fall back to the smallest valid group."""
+    env = os.environ.get("VTM_FRAME_TM_GROUP")
+    if env is not None:
+        g = int(env)
+        if not (0 < g <= h and h % g == 0):
+            raise ValueError(f"VTM_FRAME_TM_GROUP={g} does not divide h={h}")
+        if (g * d) % _LANE != 0 and g != h:
+            raise ValueError(
+                f"VTM_FRAME_TM_GROUP={g}: out-block width g*d={g * d} is "
+                f"neither a multiple of {_LANE} nor the full row h*d"
+            )
+        return g
+    if (2 * d) % _LANE == 0:
+        return 2
+    return next(
+        (c for c in range(2, h) if h % c == 0 and (c * d) % _LANE == 0), h
+    )
 
 
 def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
@@ -510,11 +554,15 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     blk_q=784)."""
     b, h, n, d = q.shape
     f = frames
-    g = _frame_tm_group(h)
+    g = _frame_tm_group(h, d)
     fcs = 2 if f % 2 == 0 else 1  # frames per grid step
-    fcs_env = int(os.environ.get("VTM_FRAME_TM_FCS", "0"))
-    if fcs_env > 0 and f % fcs_env == 0:
-        fcs = fcs_env
+    fcs_env = os.environ.get("VTM_FRAME_TM_FCS")
+    if fcs_env is not None and int(fcs_env) > 0:
+        if f % int(fcs_env) != 0:
+            raise ValueError(
+                f"VTM_FRAME_TM_FCS={fcs_env} does not divide frames={f}"
+            )
+        fcs = int(fcs_env)
     s_len = n // f
     s_pad = -(-s_len // _LANE) * _LANE
     n_pad = s_pad * f
@@ -527,21 +575,8 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     qs = (q * sm_scale).reshape(b, h, n, d)
     if nq_pad != n:
         qs = jnp.pad(qs, [(0, 0), (0, 0), (0, nq_pad - n), (0, 0)])
-    ks = k.reshape(b, h, f, s_len, d)
-    vs = v.reshape(b, h, f, s_len, d)
-    if s_pad != s_len:
-        ks = jnp.pad(ks, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
-        vs = jnp.pad(vs, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
-    ks = ks.reshape(b, h, n_pad, d)
-    vs = vs.reshape(b, h, n_pad, d)
-
-    bias = jnp.full((b, f, s_pad), -1e30, jnp.float32)
-    kb = (
-        key_bias.astype(jnp.float32).reshape(b, f, s_len)
-        if key_bias is not None
-        else jnp.zeros((b, f, s_len), jnp.float32)
-    )
-    bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
+    ks, vs = _pad_frames_kv(k, v, f, s_pad)
+    bias = _frame_key_bias(key_bias, b, f, s_len, s_pad)
 
     grid = (b, nq_pad // blk_q_eff, h // g, f // fcs)
     out = pl.pallas_call(
@@ -682,13 +717,7 @@ def _frame_backward_tm(q, k, v, key_bias, g, sm_scale, frames, blk_q=256):
     qs = q
     if nq_pad != n:
         qs = jnp.pad(qs, [(0, 0), (0, 0), (0, nq_pad - n), (0, 0)])
-    ks = k.reshape(b, h, f, s_len, d)
-    vs = v.reshape(b, h, f, s_len, d)
-    if s_pad != s_len:
-        ks = jnp.pad(ks, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
-        vs = jnp.pad(vs, [(0, 0), (0, 0), (0, 0), (0, s_pad - s_len), (0, 0)])
-    ks = ks.reshape(b, h, n_pad, d)
-    vs = vs.reshape(b, h, n_pad, d)
+    ks, vs = _pad_frames_kv(k, v, f, s_pad)
 
     # one head-major transpose of the cotangent outside the kernel buys
     # clean (blk_q, d) do tiles inside (64-lane intra-register head
@@ -698,13 +727,7 @@ def _frame_backward_tm(q, k, v, key_bias, g, sm_scale, frames, blk_q=256):
         gs = jnp.pad(gs, [(0, 0), (0, nq_pad - n), (0, 0), (0, 0), (0, 0)])
     gs = jnp.transpose(gs, (0, 3, 2, 1, 4))  # [B, H, F, nq_pad, d]
 
-    bias = jnp.full((b, f, s_pad), -1e30, jnp.float32)
-    kb = (
-        key_bias.astype(jnp.float32).reshape(b, f, s_len)
-        if key_bias is not None
-        else jnp.zeros((b, f, s_len), jnp.float32)
-    )
-    bias = bias.at[:, :, :s_len].set(kb).reshape(b, 1, n_pad)
+    bias = _frame_key_bias(key_bias, b, f, s_len, s_pad)
 
     grid = (b, h // 2, nq_pad // blk_q_eff)
     dq, dk, dv, db = pl.pallas_call(

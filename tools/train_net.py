@@ -330,7 +330,9 @@ def train_contrastive(cfg):
             correct = total = 0
             for batch in val_loader:
                 frames = jnp.asarray(np.asarray(batch["frames"], np.float32))
-                feat, _ = model.backbone_forward(
+                # eval mode: no dropout, BN running stats (the reference
+                # runs kNN eval under model.eval())
+                feat = model.backbone_eval(
                     all_params["backbone"], stats, [frames]
                 )
                 if isinstance(feat, (list, tuple)):

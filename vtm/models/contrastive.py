@@ -28,6 +28,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _fold(rng, i: int):
+    """Per-forward dropout-rng stream: fresh per view/encoder (the
+    torch reference draws fresh randomness for every forward; reusing
+    one key would give every view an identical dropout mask)."""
+    return None if rng is None else jax.random.fold_in(rng, i)
+
+
 def l2_normalize(x, axis=-1, eps=0.0):
     """Reference Normalize (contrastive.py:926-938): x / ||x||_2."""
     norm = jnp.sqrt((x ** 2).sum(axis=axis, keepdims=True))
@@ -196,7 +203,8 @@ class ContrastiveModel:
         is the projection [B, dim] or [proj, *predictors]."""
         variables = {"params": params}
         rngs = {"dropout": rng if rng is not None else jax.random.key(0)}
-        if self.has_batch_stats and bn:
+        if self.has_batch_stats:
+            assert bn, "batch_stats missing for a BN backbone"
             variables["batch_stats"] = bn
             (out, _), mutated = self.module.apply(
                 variables, clip, train=True, mutable=["batch_stats"],
@@ -205,6 +213,19 @@ class ContrastiveModel:
             return out, mutated["batch_stats"]
         out, _ = self.module.apply(variables, clip, train=True, rngs=rngs)
         return out, bn
+
+    def backbone_eval(self, params, bn, clip):
+        """Eval-mode forward (no dropout; BN uses RUNNING stats) — the
+        reference evaluates kNN under model.eval() (contrastive.py:
+        'if not self.training: return self.eval_knn(q)'); extracting
+        validation features in train mode would normalise with the val
+        mini-batch and fire dropout."""
+        variables = {"params": params}
+        if self.has_batch_stats:
+            assert bn, "batch_stats missing for a BN backbone"
+            variables["batch_stats"] = bn
+        out, _ = self.module.apply(variables, clip, train=False)
+        return out
 
     def _update_history(self, params, state, mmt):
         """Momentum update of the key encoder (contrastive.py:161-176):
@@ -216,7 +237,7 @@ class ContrastiveModel:
 
         return jax.tree.map(ema, params, state["hist_params"])
 
-    def compute_key_feat(self, params, state, clips_k, mmt):
+    def compute_key_feat(self, params, state, clips_k, mmt, rng=None):
         """contrastive.py:310-372 (batch shuffling skipped — sync-BN
         condition; see module docstring). Same-shaped key clips are
         batched into ONE forward (reference batched_inference /
@@ -238,15 +259,19 @@ class ContrastiveModel:
                 jnp.concatenate([c[j] for c in clips_k], axis=0)
                 for j in range(len(clips_k[0]))
             ]
-            feat, hist_bn = self.backbone_forward(hist_sg, hist_bn, batched)
+            feat, hist_bn = self.backbone_forward(
+                hist_sg, hist_bn, batched, _fold(rng, 100)
+            )
             if isinstance(feat, (list, tuple)):
                 feat = feat[0]
             key = jax.lax.stop_gradient(l2_normalize(feat))
             keys = [key[i * bsz : (i + 1) * bsz] for i in range(n_clips)]
             return keys, hist, hist_bn
         keys = []
-        for clip_k in clips_k:
-            feat, hist_bn = self.backbone_forward(hist_sg, hist_bn, clip_k)
+        for i, clip_k in enumerate(clips_k):
+            feat, hist_bn = self.backbone_forward(
+                hist_sg, hist_bn, clip_k, _fold(rng, 100 + i)
+            )
             if isinstance(feat, (list, tuple)):
                 feat = feat[0]
             keys.append(jax.lax.stop_gradient(l2_normalize(feat)))
@@ -292,10 +317,13 @@ class ContrastiveModel:
     def forward_train(self, params, bn, state, clips, index,
                       epoch_exact=0.0, rng=None, keys=None,
                       proto_params=None):
-        """One training forward. ``clips``: list of clips (each a list
-        of pathway arrays or a single array). Returns
-        (logits, loss, aux) with aux = dict(new_bn=..., state_updates=
-        callable-free dict pieces applied by ``apply_state_updates``).
+        """One training forward. ``clips``: list of clips, each a LIST
+        of pathway arrays ([slow, fast] for two-pathway backbones). A
+        bare array is treated as one single-pathway clip, and a flat
+        list of arrays as ONE clip's pathways (not several clips —
+        the two readings are inherently ambiguous for SlowFast, so the
+        pathway reading wins; pass [[a], [b]] for two clips). Returns
+        (logits, loss, aux) with aux = dict(new_bn=..., new_state=...).
         Gradients flow through ``loss`` into params/proto_params only.
         """
         cc = self.cc
@@ -304,8 +332,10 @@ class ContrastiveModel:
             if cc.momentum_annealing
             else cc.mmt
         )
-        if not isinstance(clips[0], (list, tuple)):
-            clips = [clips]  # single clip
+        if not isinstance(clips, (list, tuple)):
+            clips = [[clips]]  # bare array: one single-pathway clip
+        elif not isinstance(clips[0], (list, tuple)):
+            clips = [clips]  # flat list: one clip's pathways
 
         if cc.type == "moco":
             return self._moco(params, bn, state, clips, index, mmt, rng,
@@ -329,13 +359,13 @@ class ContrastiveModel:
         auto_enqueue = keys is None
         if keys is None:
             keys, hist, hist_bn = self.compute_key_feat(
-                params, state, clips_k, mmt
+                params, state, clips_k, mmt, rng
             )
         else:
             hist, hist_bn = state["hist_params"], state.get(
                 "hist_batch_stats"
             )
-        feat_q, new_bn = self.backbone_forward(params, bn, clip_q, rng)
+        feat_q, new_bn = self.backbone_forward(params, bn, clip_q, _fold(rng, 0))
         if isinstance(feat_q, (list, tuple)):
             feat_q = feat_q[0]
         q = l2_normalize(feat_q)
@@ -354,8 +384,12 @@ class ContrastiveModel:
         new_state["hist_params"] = hist
         if hist_bn is not None:
             new_state["hist_batch_stats"] = hist_bn
-        new_state["iter"] = state["iter"] + 1
         if auto_enqueue:
+            # iter counts MOMENTUM updates (reference increments it only
+            # inside compute_key_feat:316-317, paired with
+            # _update_history) — the external-keys path skips both, so
+            # the next internally-keyed step still copies-on-first
+            new_state["iter"] = state["iter"] + 1
             new_state = self.dequeue_and_enqueue(new_state, keys)
         new_state = self.knn_mem_update(new_state, q, index)
         return logits, loss, dict(new_bn=new_bn, new_state=new_state)
@@ -363,15 +397,16 @@ class ContrastiveModel:
     def _byol(self, params, bn, state, clips, index, mmt, rng, keys):
         """contrastive.py:508-598 (symmetric, non-sequential path)."""
         cc = self.cc
+        auto_keys = keys is None
         if keys is None:
             keys, hist, hist_bn = self.compute_key_feat(
-                params, state, clips, mmt
+                params, state, clips, mmt, rng
             )
         else:
             hist, hist_bn = state["hist_params"], state.get(
                 "hist_batch_stats"
             )
-        out_q, new_bn = self.backbone_forward(params, bn, clips[0], rng)
+        out_q, new_bn = self.backbone_forward(params, bn, clips[0], _fold(rng, 0))
         assert isinstance(out_q, (list, tuple)) and len(out_q) == 2, (
             "BYOL needs a predictor head (CONTRASTIVE.PREDICTOR_DEPTHS)"
         )
@@ -385,7 +420,7 @@ class ContrastiveModel:
             assert len(clips) == 2
             loss_q1 = self.sim_loss(predictor1, keys[1])
             out_q2, new_bn = self.backbone_forward(
-                params, new_bn, clips[1], rng
+                params, new_bn, clips[1], _fold(rng, 1)
             )
             predictor2 = l2_normalize(out_q2[1])
             loss = loss_q1 + self.sim_loss(predictor2, keys[0])
@@ -401,7 +436,8 @@ class ContrastiveModel:
         new_state["hist_params"] = hist
         if hist_bn is not None:
             new_state["hist_batch_stats"] = hist_bn
-        new_state["iter"] = state["iter"] + 1
+        if auto_keys:  # iter counts momentum updates (see _moco)
+            new_state["iter"] = state["iter"] + 1
         new_state = self.knn_mem_update(new_state, q, index)
         return dummy, loss, dict(new_bn=new_bn, new_state=new_state)
 
@@ -410,11 +446,11 @@ class ContrastiveModel:
         diagonal is removed by subtracting it from the row sum instead
         of masked_select — identical denominator)."""
         cc = self.cc
-        feat1, new_bn = self.backbone_forward(params, bn, clips[0], rng)
+        feat1, new_bn = self.backbone_forward(params, bn, clips[0], _fold(rng, 0))
         if isinstance(feat1, (list, tuple)):
             feat1 = feat1[0]
         q = l2_normalize(feat1)
-        feat2, new_bn = self.backbone_forward(params, new_bn, clips[1], rng)
+        feat2, new_bn = self.backbone_forward(params, new_bn, clips[1], _fold(rng, 1))
         if isinstance(feat2, (list, tuple)):
             feat2 = feat2[0]
         q2 = l2_normalize(feat2)
@@ -447,13 +483,14 @@ class ContrastiveModel:
         cc = self.cc
         assert proto_params is not None
         n_clips = len(clips)
-        bs = clips[0][0].shape[0] if isinstance(clips[0], (list, tuple)) \
-            else clips[0].shape[0]
+        bs = clips[0][0].shape[0]
 
         embedding, output = [], []
         new_bn = bn
-        for clip in clips:
-            feat, new_bn = self.backbone_forward(params, new_bn, clip, rng)
+        for ci, clip in enumerate(clips):
+            feat, new_bn = self.backbone_forward(
+                params, new_bn, clip, _fold(rng, ci)
+            )
             if isinstance(feat, (list, tuple)):
                 feat = feat[0]
             proj = l2_normalize(feat)
@@ -496,12 +533,9 @@ class ContrastiveModel:
                 )
                 # roll + refill happens whenever epoch >= 15 (:645-651)
                 rolled = jnp.concatenate(
-                    [
-                        embedding[i * bs : (i + 1) * bs][None],
-                        new_queue[i, :-bs][None],
-                    ],
-                    axis=1,
-                )[0]
+                    [embedding[i * bs : (i + 1) * bs], new_queue[i, :-bs]],
+                    axis=0,
+                )
                 new_queue = new_queue.at[i].set(
                     jnp.where(epoch_exact >= 15.0, rolled, new_queue[i])
                 )
@@ -541,7 +575,7 @@ class ContrastiveModel:
         bank serves both MEM_TYPE values)."""
         cc = self.cc
         clip = clips[0]
-        feat, new_bn = self.backbone_forward(params, bn, clip, rng)
+        feat, new_bn = self.backbone_forward(params, bn, clip, _fold(rng, 0))
         if isinstance(feat, (list, tuple)):
             feat = feat[0]
         q = l2_normalize(feat)
@@ -626,11 +660,14 @@ def build_contrastive_model(cfg, rng=None, init: bool = True):
     backbone_cfg.MODEL.MODEL_NAME = _ARCH_TO_MODEL[cfg.MODEL.ARCH]
     bundle = build_model(backbone_cfg, rng=rng, init=init)
     cc = contrastive_config_from_cfg(cfg)
+    # with init=False (bundle.batch_stats is None until apply time) the
+    # BN-ness is predicted from the model family — one table, not a
+    # second hand-maintained arch list
+    bn_families = {"SlowFast", "ResNet", "X3D"}
     model = ContrastiveModel(
         bundle.module, cc,
         has_batch_stats=bundle.batch_stats is not None
-        or cfg.MODEL.ARCH in ("slowfast", "slow", "c2d", "i3d", "slow_c2d",
-                              "x3d"),
+        or _ARCH_TO_MODEL[cfg.MODEL.ARCH] in bn_families,
     )
     return model, bundle
 

@@ -85,8 +85,8 @@ def hog_features(images: np.ndarray, nbins: int = 9, pool: int = 8) -> np.ndarra
     wi = np.arange(w)[None, None, :, None]
     np.add.at(
         out,
-        (bi, ci, np.transpose(binned, (0, 1, 2, 3)), hi, wi),
-        np.transpose(norm, (0, 1, 2, 3)),
+        (bi, ci, binned, hi, wi),
+        norm,
     )
     # sum over pool x pool cells (unfold + sum)
     out = out[:, :, :, : hp * pool, : wp * pool]
@@ -404,7 +404,6 @@ def mae_pixel_labels(frames, patch_t_stride: int, p: int,
     WITHOUT the masked-row selection — the mask weights the loss).
     Works on jnp or np arrays; per-token normalisation uses the
     reference's unbiased variance."""
-    xp = jnp if isinstance(frames, jax.Array) else np
     if time_stride_loss:
         imgs = frames[:, ::patch_t_stride]
         u = 1
@@ -723,6 +722,17 @@ def _build_maskmvit_bundle(cfg) -> ModelBundle:
         return ModelBundle(
             module=module, params=None, config=spec,
             policy=MergePolicy(), name="MaskMViT",
+        )
+    if cfg.MASK.MAE_RND_MASK:
+        # The reference's rnd-mask MaskFeat branch (_maskfeat_forward:
+        # 552-556) emits the token-grid mask as the label-selection
+        # mask, which `tmp_hog[output_mask]` (_get_hog_label_3d:290)
+        # shape-mismatches whenever Q-pooling shrinks the feature grid
+        # before the pretrain depth — i.e. every shipped MaskFeat
+        # config. Refuse loudly instead of silently ignoring the flag.
+        raise NotImplementedError(
+            "MASK.MAE_RND_MASK requires MASK.MAE_ON (the reference's "
+            "MaskFeat+rnd-mask path is incoherent for pooled MViTs)"
         )
     module = MaskMViT(
         spec=spec,

@@ -896,11 +896,11 @@ class MViTModel(nn.Module):
             )
             norm = LayerNorm(epsilon=s.norm_eps, name="norm")
             if s.use_mean_pooling:
-                x = fuse(x)
+                x = fuse(x, train=train)
                 x = norm(x.mean(axis=1))
             else:
                 x = norm(x)
-                x = fuse(x)
+                x = fuse(x, train=train)
                 x = x.mean(axis=1)
             if train and s.dropout_rate > 0.0:
                 x = nn.Dropout(s.dropout_rate, deterministic=False)(x)

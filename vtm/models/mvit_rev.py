@@ -45,16 +45,30 @@ from vtm.models.mvit import (
 )
 
 
+def _parse_concat_linear(mode: str):
+    """(dim_mult, drop_rate) from 'concat_linear[_{dim_mult}[_{drop}]]'
+    — the reference's length-based parse (common.py:112-127)."""
+    parts = mode.split("_")
+    if len(parts) == 2:
+        return 1.0, 0.0
+    if len(parts) == 3:
+        return float(parts[-1]), 0.0
+    if len(parts) == 4:
+        return float(parts[-2]), float(parts[-1])
+    raise NotImplementedError(f"fusion mode {mode}")
+
+
 class TwoStreamFusion(nn.Module):
     """Fuse a channel-concatenated two-stream tensor
     (reference common.py:73-155). ``dim`` is the full (2x) input width,
-    used only by the concat_linear variants."""
+    used only by the concat_linear variants (which also honour the
+    optional trailing drop_rate when ``train=True``)."""
 
     mode: str
     dim: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         mode = self.mode
         if mode in ("add", "max", "min", "avg"):
             a, b = jnp.split(x, 2, axis=-1)
@@ -67,14 +81,13 @@ class TwoStreamFusion(nn.Module):
         if mode == "concat":
             return x
         if "concat_linear" in mode:
-            parts = mode.split("_")
-            dim_mult = float(parts[2]) if len(parts) >= 3 else 1.0
+            dim_mult, drop = _parse_concat_linear(mode)
             y = x
             if mode.split("+")[0] == "ln":
                 y = LayerNorm(epsilon=1e-6, name="ln")(y)
             y = Mlp(
-                int(self.dim * dim_mult), self.dim, name="mlp"
-            )(y)
+                int(self.dim * dim_mult), self.dim, dropout=drop, name="mlp"
+            )(y, deterministic=not train)
             return y + x
         raise NotImplementedError(f"fusion mode {mode}")
 
@@ -255,6 +268,15 @@ class StageTransitionBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
+        if "concat_linear" in self.pre_q_fusion:
+            # the custom-VJP reversible backward recomputes forwards with
+            # the droppath seed-reuse trick only; threading a fusion
+            # dropout rng through it is not supported — fail loudly
+            # rather than silently training without the requested dropout
+            if _parse_concat_linear(self.pre_q_fusion)[1] > 0.0:
+                raise NotImplementedError(
+                    "PRE_Q_FUSION dropout inside the reversible stack"
+                )
         self.pre_q_fuse = TwoStreamFusion(self.pre_q_fusion, dim=self.dim)
         self.F = AttentionSubBlock(
             dim_out=self.dim_out,
@@ -454,7 +476,7 @@ class ReversibleMViT(nn.Module):
         def bwd(res, grads):
             params, y1, y2, masks = res
             dy1, dy2 = grads
-            dparams = jax.tree.map(jnp.zeros_like, jax.tree.map(lambda v: v, params))
+            dparams = jax.tree.map(jnp.zeros_like, params)
             dparams = dict(dparams)
             for j in range(len(idxs) - 1, -1, -1):
                 i = idxs[j]

@@ -62,9 +62,8 @@ def run_demo(cfg) -> int:
             task = predictor(task)
             if async_vis is not None:
                 task.add_action_preds(task.preds)
-                # reindex: AsyncVis.get() returns ids sequentially and
-                # NUM_CLIPS_SKIP leaves holes in the manager's ids
-                task.id = async_vis.put_id + 1
+                # AsyncVis.put() reassigns sequential ids itself
+                # (NUM_CLIPS_SKIP leaves holes in the manager's ids)
                 async_vis.put(task)
                 pending += 1
                 while pending:

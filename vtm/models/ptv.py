@@ -27,8 +27,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from vtm.models.convnet import (
@@ -58,7 +56,6 @@ class PTVSpec:
     num_frames: int
     crop_size: int
     norm: NormSpec
-    zero_init_final_bn: bool
 
 
 def ptv_spec_from_cfg(cfg) -> PTVSpec:
@@ -76,7 +73,6 @@ def ptv_spec_from_cfg(cfg) -> PTVSpec:
                 cfg.BN.NUM_SPLITS if cfg.BN.NORM_TYPE == "sub_batchnorm" else 1
             ),
         ),
-        zero_init_final_bn=cfg.RESNET.ZERO_INIT_FINAL_BN,
     )
 
 
@@ -100,7 +96,6 @@ class _PTVBottleneck(nn.Module):
     stride: Tuple[int, int]  # (temporal, spatial)
     style: str
     norm: NormSpec
-    zero_init_final_bn: bool
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -129,7 +124,7 @@ class _PTVBottleneck(nn.Module):
         h = conv3d(self.dim_out, (1, 1, 1), name="conv_c")(h)
         h = BatchNorm(
             self.norm,
-            zero_init=self.zero_init_final_bn,
+            zero_init=self.norm.zero_init_final,
             num_splits=self.norm.num_splits,
             name="conv_c_bn",
         )(h, train=train)
@@ -144,7 +139,6 @@ class _PTVResBlock(nn.Module):
     stride: Tuple[int, int]
     style: str
     norm: NormSpec
-    zero_init_final_bn: bool
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -163,8 +157,7 @@ class _PTVResBlock(nn.Module):
             stride=self.stride,
             style=self.style,
             norm=self.norm,
-            zero_init_final_bn=self.zero_init_final_bn,
-            name="branch2",
+                        name="branch2",
         )(x, train=train)
         return nn.relu(sc + h)
 
@@ -178,7 +171,6 @@ class _PTVStage(nn.Module):
     stride: Tuple[int, int]
     style: str
     norm: NormSpec
-    zero_init_final_bn: bool
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -189,8 +181,7 @@ class _PTVStage(nn.Module):
                 stride=self.stride if i == 0 else (1, 1),
                 style=self.style,
                 norm=self.norm,
-                zero_init_final_bn=self.zero_init_final_bn,
-                name=f"res_{i}",
+                                name=f"res_{i}",
             )(x, train=train)
         return x
 
@@ -228,8 +219,7 @@ class CSNModel(nn.Module):
                 stride=(1, 1) if i == 0 else (2, 2),
                 style="csn",
                 norm=s.norm,
-                zero_init_final_bn=s.zero_init_final_bn,
-                name=f"s{i + 2}",
+                                name=f"s{i + 2}",
             )(x, train=train)
 
         logits = ResNetBasicHead(
@@ -273,8 +263,7 @@ class R2Plus1DModel(nn.Module):
                 stride=(temporal[i], 2),
                 style="r2plus1d",
                 norm=s.norm,
-                zero_init_final_bn=s.zero_init_final_bn,
-                name=f"s{i + 2}",
+                                name=f"s{i + 2}",
             )(x, train=train)
 
         logits = ResNetBasicHead(

@@ -34,6 +34,15 @@ def draw_predictions(task, video_vis):
     boxes = getattr(task, "bboxes", None)
     frames = list(task.frames)
     preds = np.asarray(task.action_preds)
+    if boxes is not None and len(boxes) and task.crop_size:
+        # boxes live in model-crop coordinates; map them back onto the
+        # raw display frames (reference async_predictor.py:140-146)
+        from vtm.data.cv2_transform import revert_scaled_boxes
+
+        boxes = revert_scaled_boxes(
+            task.crop_size, np.asarray(boxes), task.img_height,
+            task.img_width,
+        )
     keyframe_idx = len(frames) // 2 - task.num_buffer_frames
     draw_range = [
         keyframe_idx - task.clip_vis_size,
@@ -77,7 +86,6 @@ class AsyncVis:
         ctx = mp.get_context("spawn")
         self.task_queue = ctx.Queue()
         self.result_queue = ctx.Queue()
-        self.get_indices_ls = []
         self.procs = []
         self.result_data = {}
         self.put_id = -1
@@ -95,7 +103,11 @@ class AsyncVis:
         atexit.register(self.shutdown)
 
     def put(self, task):
+        """Enqueue for drawing; ids are assigned HERE, sequentially —
+        get() hands results back in put order regardless of the
+        caller's own (possibly gappy, NUM_CLIPS_SKIP) task numbering."""
         self.put_id += 1
+        task.id = self.put_id
         self.task_queue.put(task)
 
     def get(self):

@@ -90,6 +90,10 @@ class VideoManager:
 
     def __next__(self) -> TaskInfo:
         frames = list(self.buffer)
+        # frames carried over from the previous clip were already
+        # displayed with it (reference demo_loader.py:96,123 sets
+        # num_buffer_frames = 0 for the first task, buffer_size after)
+        num_buffer = len(frames)
         while len(frames) < self.seq_length:
             ok, frame = self.cap.read()
             if not ok:
@@ -98,13 +102,15 @@ class VideoManager:
         if self.buffer_size:
             self.buffer = frames[-self.buffer_size :]
         task = TaskInfo(self.task_id, frames)
+        task.num_buffer_frames = num_buffer
+        task.clip_vis_size = self.cfg.DEMO.CLIP_VIS_SIZE
         self.task_id += 1
         return task
 
     def display(self, task: TaskInfo):
         import cv2
 
-        for frame in task.frames:
+        for frame in task.frames[task.num_buffer_frames :]:
             if self.output_file is not None:
                 self.output_file.write(frame)
             else:
@@ -190,6 +196,10 @@ class Predictor:
         return arr[None]
 
     def __call__(self, task: TaskInfo) -> TaskInfo:
+        # geometry for box revert downstream (reference predictor.py
+        # sets crop_size/img dims on the task before inference)
+        task.crop_size = self.cfg.DATA.TEST_CROP_SIZE
+        task.img_height, task.img_width = task.frames[0].shape[:2]
         logits = self._fn(self.bundle.params, self._preprocess(task.frames))
         if isinstance(logits, tuple):
             logits = logits[0]

@@ -412,6 +412,14 @@ def test_ssl_train_loop_e2e(tmp_path):
         os.listdir(tmp_path)
     )
 
+    # auto-resume: a second run continues from the saved epoch with the
+    # FULL SSL state (queue/momentum encoder ride the checkpoint), so
+    # epoch 0 is not retrained
+    cfg2 = cfg.clone()
+    cfg2.merge_from_list(["SOLVER.MAX_EPOCH", "2", "TRAIN.AUTO_RESUME", "True"])
+    params2 = train(cfg2)
+    assert params2 is not None and "backbone" in params2
+
 
 def test_contrastive_mvit_backbone():
     """The 'mvit' arch from the reference's _MODEL_TYPES: MViT backbone

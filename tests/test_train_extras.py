@@ -264,3 +264,29 @@ def test_train_e2e_kinetics_with_relative_crop(tmp_path):
     cfg.VIDEOMAE.MODEL = "vit_small_patch16_224"
     params = train(cfg)
     assert params is not None
+
+
+def test_set_lr_through_multisteps():
+    """set_lr must reach the inject_hyperparams state through the
+    optax.MultiSteps wrapper (SOLVER.ACCUMULATE_STEPS > 1) — the
+    wrapped state keeps it at inner_opt_state."""
+    import optax
+
+    from vtm.train.optimizer import construct_optimizer, set_lr
+
+    cfg = get_cfg()
+    cfg.SOLVER.OPTIMIZING_METHOD = "sgd"
+    cfg.SOLVER.BASE_LR = 0.1
+    params = {"w": np.zeros((4, 4), np.float32)}
+    tx_base, _ = construct_optimizer(cfg, params)
+
+    plain = tx_base.init(params)
+    set_lr(plain, 0.5)
+    assert float(plain.hyperparams["learning_rate"]) == 0.5
+
+    tx = optax.MultiSteps(tx_base, 4)
+    wrapped = tx.init(params)
+    set_lr(wrapped, 0.25)
+    assert (
+        float(wrapped.inner_opt_state.hyperparams["learning_rate"]) == 0.25
+    )

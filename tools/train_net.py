@@ -38,7 +38,7 @@ from vtm.eval.metrics import (  # noqa: E402
 from vtm.models import build_model  # noqa: E402
 from vtm.parallel.mesh import make_mesh, pad_to_multiple, replicate, shard_batch  # noqa: E402
 from vtm.train.mixup import MixUp  # noqa: E402
-from vtm.train.optimizer import construct_optimizer  # noqa: E402
+from vtm.train.optimizer import construct_optimizer, set_lr  # noqa: E402
 from vtm.train.train_step import make_eval_step, make_train_step  # noqa: E402
 from vtm.utils import wandb_utils  # noqa: E402
 from vtm.utils.env import setup_environment  # noqa: E402
@@ -77,7 +77,7 @@ def train_epoch(
     meter.iter_tic()
     for cur_iter, batch in enumerate(loader):
         lr = lr_at(cur_epoch + float(cur_iter) / data_size)
-        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, dtype=jnp.float32)
+        set_lr(opt_state, lr)
         if mixup_fn is not None:
             mixed, targets = mixup_fn(
                 np.asarray(batch["frames"]), np.asarray(batch["label"])
@@ -171,7 +171,8 @@ def train_epoch(
             )
         else:
             params, opt_state, loss, logits, aux = train_step(
-                params, opt_state, frames, labels, None
+                params, opt_state, frames, labels,
+                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
             )
         loss = float(loss)
         if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
@@ -261,6 +262,28 @@ def train_contrastive(cfg):
     opt_state = tx.init(all_params)
     step = make_contrastive_train_step(model, tx)
 
+    # auto-resume with the FULL SSL state (queue/ptr/momentum encoder/
+    # kNN bank ride the checkpoint's batch_stats slot; the reference
+    # saves them as module buffers inside model_state)
+    start_epoch = 0
+    if cfg.TRAIN.AUTO_RESUME and cu.get_last_checkpoint(cfg.OUTPUT_DIR):
+        last = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
+        aux_template = {
+            "bn": stats if stats is not None else {},
+            "ssl_state": state,
+        }
+        all_params, restored_opt, start_epoch = cu.load_checkpoint(
+            last, all_params, opt_state, batch_stats_template=aux_template
+        )
+        if restored_opt is not None:
+            opt_state = restored_opt
+        aux = cu.load_checkpoint.last_batch_stats
+        if aux is not None:
+            stats = aux["bn"] or None
+            state = aux["ssl_state"]
+        start_epoch += 1
+        logger.info("SSL auto-resumed from %s (epoch %d)", last, start_epoch)
+
     train_loader = construct_loader(cfg, "train")
     data_size = len(train_loader)
     # knn label bank (reference init_knn_labels, contrastive.py:145-160)
@@ -274,15 +297,13 @@ def train_contrastive(cfg):
         else 0
     )
     meter = TrainMeter(data_size, cfg)
-    for cur_epoch in range(cfg.SOLVER.MAX_EPOCH):
+    for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
         shuffle_dataset(train_loader, cur_epoch)
         meter.iter_tic()
         for cur_iter, batch in enumerate(train_loader):
             epoch_exact = cur_epoch + float(cur_iter) / data_size
             lr = lr_at(epoch_exact)
-            opt_state.hyperparams["learning_rate"] = jnp.asarray(
-                lr, dtype=jnp.float32
-            )
+            set_lr(opt_state, lr)
             clips_arr = np.asarray(batch["clips"], np.float32)
             clips = [
                 [jnp.asarray(clips_arr[:, i])]
@@ -320,9 +341,14 @@ def train_contrastive(cfg):
         if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0 or (
             cur_epoch + 1
         ) == cfg.SOLVER.MAX_EPOCH:
+            # full all_params (incl. swav_prototypes) so opt_state can be
+            # restored against the same tree; SSL state rides along
             cu.save_checkpoint(
-                cfg.OUTPUT_DIR, all_params["backbone"], opt_state,
-                cur_epoch, cfg, batch_stats=stats,
+                cfg.OUTPUT_DIR, all_params, opt_state, cur_epoch, cfg,
+                batch_stats={
+                    "bn": stats if stats is not None else {},
+                    "ssl_state": state,
+                },
             )
         # kNN eval (reference train_net.py:437-460)
         if cc.knn_on and (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
@@ -445,6 +471,13 @@ def train(cfg):
         eval_step = make_bn_eval_step(bundle.module, mesh)
     else:
         eval_step = make_eval_step(bundle.module, mesh, param_specs=specs)
+    det_eval = None
+    if cfg.DETECTION.ENABLE:
+        # built ONCE: each make_* call is a fresh jit cache, and bn stats
+        # are a per-call argument of the step
+        from vtm.train.train_step import make_detection_eval_step
+
+        det_eval = make_detection_eval_step(bundle.module)
 
     train_loader = construct_loader(cfg, "train")
     val_loader = construct_loader(cfg, "val")
@@ -508,6 +541,10 @@ def train(cfg):
                         bundle.module, mesh, param_specs=specs
                     )
                 train_loader = construct_loader(cfg, "train")
+                # the long-cycle batch size changed => epoch length
+                # changed; a stale meter mis-reports ETA/iter totals
+                # (reference rebuilds meters in build_trainer)
+                train_meter = TrainMeter(len(train_loader), cfg)
         shuffle_dataset(train_loader, cur_epoch)
         params, opt_state, bn_stats = train_epoch(
             train_loader,
@@ -553,13 +590,12 @@ def train(cfg):
         elif is_eval:
             if cfg.DETECTION.ENABLE:
                 from tools.test_net import perform_detection_test
-                from vtm.train.train_step import make_detection_eval_step
 
-                det_eval = make_detection_eval_step(
-                    bundle.module, batch_stats=bn_stats
-                )
+                cur_bn = bn_stats
                 perform_detection_test(
-                    val_loader, det_eval, params, val_meter, cfg
+                    val_loader,
+                    lambda p, f, b: det_eval(p, f, b, batch_stats=cur_bn),
+                    params, val_meter, cfg,
                 )
                 val_meter.reset()
             else:

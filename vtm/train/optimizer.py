@@ -108,6 +108,16 @@ def construct_optimizer(cfg, params, num_layers: int = 12):
 
 
 def set_lr(opt_state, lr: float):
-    """Update the injected learning rate in-place-style (returns state)."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Update the injected learning rate in-place-style (returns state).
+    Sees through optax.MultiSteps (SOLVER.ACCUMULATE_STEPS > 1), whose
+    wrapper state keeps the inject_hyperparams state at
+    ``inner_opt_state``."""
+    import jax.numpy as jnp
+
+    target = opt_state
+    while not hasattr(target, "hyperparams") and hasattr(
+        target, "inner_opt_state"
+    ):
+        target = target.inner_opt_state
+    target.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state

@@ -194,7 +194,10 @@ def make_detection_eval_step(module, batch_stats=None, mesh=None):
 
     jitted = jax.jit(step)
 
-    def run(params, frames, boxes):
+    # batch_stats is a traced ARGUMENT of the jitted step, so fresher
+    # BN stats can be passed per call without recompiling — build this
+    # step once, not per eval (each make_* call is a fresh jit cache)
+    def run(params, frames, boxes, batch_stats=batch_stats):
         return jitted(params, batch_stats, frames, boxes)
 
     return run

@@ -137,20 +137,30 @@ class PascalDetectionEvaluator:
 
     def evaluate(self, prefix: str = "PascalBoxes") -> dict:
         aps = {}
+        # one pass over gt/detections up front instead of re-scanning
+        # every image per category (80 classes x ~24k keys of tiny
+        # numpy ops is minutes of pure-Python work per eval); per-class
+        # detection keys keep INSERTION order, preserving the greedy
+        # matching order below
+        num_gt_per_class: dict = defaultdict(int)
+        for gt_info in self._gt.values():
+            valid = gt_info["classes"][~gt_info["difficult"]]
+            for c, cnt in zip(*np.unique(valid, return_counts=True)):
+                num_gt_per_class[int(c)] += int(cnt)
+        det_keys_per_class: dict = defaultdict(list)
+        for key, det in self._det.items():
+            for c in np.unique(det["classes"]):
+                det_keys_per_class[int(c)].append(key)
         for cat in self.categories:
             cid = cat["id"]
             scores_all: List[np.ndarray] = []
             tp_all: List[np.ndarray] = []
-            num_gt = 0
-            for key, gt in self._gt.items():
-                gt_sel = gt["classes"] == cid
-                num_gt += int((gt_sel & ~gt["difficult"]).sum())
+            num_gt = num_gt_per_class[cid]
             if num_gt == 0:
                 continue
-            for key, det in self._det.items():
+            for key in det_keys_per_class[cid]:
+                det = self._det[key]
                 sel = det["classes"] == cid
-                if not sel.any():
-                    continue
                 # NOTE: the vendored fork's per_image_evaluation has no
                 # NMS/score-sort stage (upstream TF OD API sorts inside
                 # non_max_suppression) — greedy matching runs in the

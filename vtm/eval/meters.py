@@ -174,9 +174,14 @@ class EPICTestMeter:
             if self.ensemble_method == "sum":
                 self.verb_preds[vid_id] += verb_p[i]
                 self.noun_preds[vid_id] += noun_p[i]
-            else:
+            elif self.ensemble_method == "max":
                 self.verb_preds[vid_id] = np.maximum(self.verb_preds[vid_id], verb_p[i])
                 self.noun_preds[vid_id] = np.maximum(self.noun_preds[vid_id], noun_p[i])
+            else:
+                # fail fast like TestMeter/the reference (meters.py:354) —
+                # a silent max fallback on zero-initialised preds clamps
+                # negative logits and reports wrong-but-plausible numbers
+                raise NotImplementedError(self.ensemble_method)
             self.clip_count[vid_id] += 1
 
     iter_tic = TestMeter.iter_tic
@@ -533,13 +538,30 @@ class AVAMeter:
         self.full_groundtruth = ava_eval.read_csv(
             gt_filename, self.class_whitelist
         )
+        # val-mode gt subset (sec % 4 == 0) — must match the val
+        # loader's boxes_sample_rate keyframe subsampling, or recall is
+        # capped near 25% (reference get_ava_mini_groundtruth,
+        # meters.py:32-47, selected at :207-210)
+        self.mini_groundtruth = tuple(
+            {k: v for k, v in part.items() if int(k.split(",")[1]) % 4 == 0}
+            for part in self.full_groundtruth
+        )
+        self.full_ava_test = cfg.AVA.FULL_TEST_ON_VAL
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.loss_total = 0.0
+        self.num_samples = 0
+        self.lr = None
         self.video_idx_to_name = None  # set by the driver
         self.full_map = None
 
     def update_stats(self, preds, ori_boxes, metadata, loss=None, lr=None):
         if self.mode == "train":
-            # train mode tracks loss only (reference AVAMeter train path)
-            self.loss = float(loss)
+            # train mode tracks loss/lr only (reference AVAMeter:131-137,
+            # windowed ScalarMeter — a bare last-batch float would report
+            # one noisy sample as the epoch loss)
+            self.loss.add_value(float(loss))
+            self.loss_total += float(loss)
+            self.num_samples += 1
             self.lr = lr
             return
         self.all_preds.append(np.asarray(preds))
@@ -550,8 +572,8 @@ class AVAMeter:
         if self.mode == "train":
             log_json_stats(
                 {"split": "train_epoch", "epoch": cur_epoch,
-                 "loss": getattr(self, "loss", None),
-                 "lr": getattr(self, "lr", None)},
+                 "loss": self.loss_total / max(self.num_samples, 1),
+                 "lr": self.lr},
                 logger,
             )
 
@@ -561,6 +583,11 @@ class AVAMeter:
         preds = np.concatenate(self.all_preds)
         ori_boxes = np.concatenate(self.all_ori_boxes)
         metadata = np.concatenate(self.all_metadata)
+        # test (or FULL_TEST_ON_VAL) scores against the full gt; val
+        # during training against the sec%4==0 subset the loader serves
+        use_full = self.mode == "test" or (
+            self.full_ava_test and self.mode == "val"
+        )
         self.full_map = ava_eval.evaluate_ava(
             preds,
             ori_boxes,
@@ -568,7 +595,9 @@ class AVAMeter:
             self.excluded_keys,
             self.class_whitelist,
             self.categories,
-            groundtruth=self.full_groundtruth,
+            groundtruth=(
+                self.full_groundtruth if use_full else self.mini_groundtruth
+            ),
             video_idx_to_name=self.video_idx_to_name,
             output_dir=self.cfg.OUTPUT_DIR,
         )
@@ -581,16 +610,17 @@ class AVAMeter:
         if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
             return
         eta_sec = self.iter_timer.seconds() * (self.overall_iters - cur_iter)
-        log_json_stats(
-            {
-                "split": f"{self.mode}_iter",
-                "cur_iter": f"{cur_iter + 1}",
-                "eta": str(datetime.timedelta(seconds=int(eta_sec))),
-                "time_diff": self.iter_timer.seconds(),
-                "mode": self.mode,
-            },
-            logger,
-        )
+        stats = {
+            "split": f"{self.mode}_iter",
+            "cur_iter": f"{cur_iter + 1}",
+            "eta": str(datetime.timedelta(seconds=int(eta_sec))),
+            "time_diff": self.iter_timer.seconds(),
+            "mode": self.mode,
+        }
+        if self.mode == "train":
+            stats["loss"] = self.loss.get_win_median()
+            stats["lr"] = self.lr
+        log_json_stats(stats, logger)
 
     def iter_tic(self):
         self.iter_timer.reset()
@@ -604,3 +634,6 @@ class AVAMeter:
 
     def reset(self):
         self.all_preds, self.all_ori_boxes, self.all_metadata = [], [], []
+        self.loss.reset()
+        self.loss_total = 0.0
+        self.num_samples = 0

@@ -93,6 +93,16 @@ def test_short_cycle_loader_batches():
     shapes = [b["frames"].shape[2] for b in loader]
     assert shapes[:3] == [16, 23, 32]
 
+    # drop_last: __len__ must walk the same 3-phase schedule as
+    # __iter__ (an average-size estimate disagrees on ragged tails)
+    from vtm.data.loader import BatchLoader
+
+    short = BatchLoader(
+        loader.dataset, batch_size=4, drop_last=True, num_workers=1,
+        short_cycle_batch_sizes=[8, 4, 2],
+    )
+    assert len(short) == sum(1 for _ in short)
+
 
 def test_long_cycle_slowfast_train_e2e(tmp_path):
     """Two epochs of tiny SlowFast under a long-cycle schedule: shapes

@@ -72,8 +72,10 @@ class Kinetics:
         if isinstance(index, tuple):
             index, short_cycle_idx = index
         if cfg.DATA.DUMMY_LOAD and self._dummy_cache is not None:
-            frames, label = self._dummy_cache
+            frames, label, clips = self._dummy_cache
             item = {"frames": frames, "label": label, "index": index}
+            if clips is not None:
+                item["clips"] = clips
             if cfg.AUG.GEN_MASK_LOADER:
                 from vtm.data.masking import gen_mask
 
@@ -106,25 +108,64 @@ class Kinetics:
                 if cfg.TEST.NUM_SPATIAL_CROPS > 1
                 else 1
             )
-            min_scale, max_scale = [cfg.DATA.TEST_CROP_SIZE] * 2
+            # single-crop test resizes the short side to the JITTER
+            # floor before the center crop (reference kinetics.py:246-251
+            # — TEST_CROP_SIZE as the scale changes every test pixel)
+            if cfg.TEST.NUM_SPATIAL_CROPS > 1:
+                min_scale = max_scale = cfg.DATA.TEST_CROP_SIZE
+            else:
+                min_scale = max_scale = cfg.DATA.TRAIN_JITTER_SCALES[0]
             crop_size = cfg.DATA.TEST_CROP_SIZE
 
-        for retry in range(self._num_retries):
-            frames = decoder.decode(
-                self._path_to_videos[index],
-                cfg.DATA.SAMPLING_RATE,
-                cfg.DATA.NUM_FRAMES,
-                clip_idx=temporal_sample_index,
-                num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS if self.mode == "test" else 1,
-                target_fps=cfg.DATA.TARGET_FPS,
-                use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+        sampling_rate = cfg.DATA.SAMPLING_RATE
+        if self.mode == "train" and cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE > 0:
+            # short-T multigrid phases randomly stretch the sampling rate
+            # so some clips still cover the original span (reference
+            # utils.get_random_sampling_rate)
+            sampling_rate = random.randint(
+                sampling_rate, cfg.MULTIGRID.LONG_CYCLE_SAMPLING_RATE
             )
+
+        # SSL multi-view sampling decodes n_temporal gap-constrained
+        # clips in ONE pass (reference kinetics.py:256-311); 'frames'
+        # is the first view — a separate whole-video decode would
+        # double loader CPU for a key the SSL loop never reads
+        n_temporal = cfg.DATA.TRAIN_CROP_NUM_TEMPORAL
+        n_spatial = cfg.DATA.TRAIN_CROP_NUM_SPATIAL
+        ssl_views = self.mode == "train" and n_temporal * n_spatial > 1
+
+        raw_clips = None
+        for retry in range(self._num_retries):
+            if ssl_views:
+                raw_clips = decoder.decode_clips(
+                    self._path_to_videos[index],
+                    sampling_rate,
+                    cfg.DATA.NUM_FRAMES,
+                    num_decode=n_temporal,
+                    target_fps=cfg.DATA.TARGET_FPS,
+                    min_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MIN,
+                    max_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MAX,
+                )
+                frames = raw_clips[0] if raw_clips is not None else None
+            else:
+                frames = decoder.decode(
+                    self._path_to_videos[index],
+                    sampling_rate,
+                    cfg.DATA.NUM_FRAMES,
+                    clip_idx=temporal_sample_index,
+                    num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS if self.mode == "test" else 1,
+                    target_fps=cfg.DATA.TARGET_FPS,
+                    use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                )
             if frames is not None:
                 break
             logger.warning(
                 "Failed to decode %s (try %d)", self._path_to_videos[index], retry
             )
-            if retry >= 2:  # reference replaces with a random video after retries
+            # the reference never substitutes videos in test mode (the
+            # meter would aggregate the wrong clip under this video id,
+            # kinetics.py:296-308) — keep retrying the same file there
+            if self.mode != "test" and retry >= 2:
                 index = random.randint(0, len(self) - 1)
         else:
             raise RuntimeError(
@@ -147,31 +188,17 @@ class Kinetics:
             clip = transform.train_random_erase(cfg, clip, self.mode)
             return np.ascontiguousarray(clip, dtype=np.float32)
 
-        # SSL multi-view sampling (DATA.TRAIN_CROP_NUM_TEMPORAL x
-        # _SPATIAL independent views, reference kinetics.py:256-311)
-        n_temporal = cfg.DATA.TRAIN_CROP_NUM_TEMPORAL
-        n_spatial = cfg.DATA.TRAIN_CROP_NUM_SPATIAL
         clips = None
-        if self.mode == "train" and n_temporal * n_spatial > 1:
-            raw = decoder.decode_clips(
-                self._path_to_videos[index],
-                cfg.DATA.SAMPLING_RATE,
-                cfg.DATA.NUM_FRAMES,
-                num_decode=n_temporal,
-                target_fps=cfg.DATA.TARGET_FPS,
-                min_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MIN,
-                max_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MAX,
+        if raw_clips is not None:
+            # independent random augs per spatial view
+            clips = np.stack(
+                [finish(c) for c in raw_clips for _ in range(n_spatial)]
             )
-            if raw is not None:
-                # independent random augs per spatial view
-                clips = np.stack(
-                    [finish(c) for c in raw for _ in range(n_spatial)]
-                )
 
         frames = finish(frames)
         label = self._labels[index]
         if cfg.DATA.DUMMY_LOAD and self._dummy_cache is None:
-            self._dummy_cache = (frames, label)
+            self._dummy_cache = (frames, label, clips)
         item = {"frames": frames, "label": label, "index": index}
         if clips is not None:
             item["clips"] = clips

@@ -64,8 +64,20 @@ class BatchLoader:
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.short_cycle_batch_sizes is not None:
-            avg = sum(self.short_cycle_batch_sizes) / 3.0
-            return int(n // avg) if self.drop_last else int(-(-n // avg))
+            # walk the same 3-phase schedule __iter__ uses — an
+            # average-batch-size estimate can disagree with the real
+            # batch count, which skews epoch_exact/LR math in the
+            # drivers (data_size = len(loader))
+            count = counter = pos = 0
+            bs = self.short_cycle_batch_sizes[0]
+            while pos < n:
+                take = min(bs, n - pos)
+                pos += bs
+                if take == bs or not self.drop_last:
+                    count += 1
+                counter += 1
+                bs = self.short_cycle_batch_sizes[counter % 3]
+            return count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

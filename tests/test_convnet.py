@@ -410,10 +410,10 @@ def test_slowfast_train_e2e_with_precise_bn(tmp_path):
     from vtm.models.build import build_model
 
     bundle = build_model(cfg)
-    load_checkpoint(str(ckpts[0]), bundle.params,
+    _, _, _, restored_stats = load_checkpoint(str(ckpts[0]), bundle.params,
                     batch_stats_template=bundle.batch_stats)
-    assert load_checkpoint.last_batch_stats is not None
-    stem = load_checkpoint.last_batch_stats["s1"]["pathway0_stem"]["bn"]
+    assert restored_stats is not None
+    stem = restored_stats["s1"]["pathway0_stem"]["bn"]
     assert not np.allclose(np.asarray(stem["mean"]), 0.0), (
         "precise-BN stats were never updated"
     )
@@ -491,3 +491,37 @@ def test_model_benchmark_with_bn_model(tmp_path):
     assert_and_infer_cfg(cfg)
     stats = model_benchmark(cfg)
     assert stats["fps"] > 0
+
+
+def test_merge_bn_stats_normal_to_sub():
+    """Plain-BN checkpoint stats load into a sub-BN model by tiling the
+    running stats per split (reference normal_to_sub_bn,
+    checkpoint.py:637-677); matching nodes copy, missing keep init."""
+    from vtm.checkpoints.checkpoint import merge_bn_stats
+
+    template = {
+        "s1": {
+            "bn": {
+                "mean": np.zeros(4, np.float32),
+                "var": np.ones(4, np.float32),
+                "split_mean": np.zeros((2, 4), np.float32),
+                "split_var": np.ones((2, 4), np.float32),
+            }
+        },
+        "head": {"bn": {"mean": np.zeros(3, np.float32),
+                        "var": np.ones(3, np.float32)}},
+    }
+    converted = {
+        "s1": {"bn": {"mean": np.arange(4, dtype=np.float32),
+                      "var": 2 * np.ones(4, np.float32)}},
+    }
+    out = merge_bn_stats(template, converted, num_splits=2)
+    np.testing.assert_array_equal(out["s1"]["bn"]["mean"], np.arange(4))
+    np.testing.assert_array_equal(
+        out["s1"]["bn"]["split_mean"], np.tile(np.arange(4), (2, 1))
+    )
+    np.testing.assert_array_equal(
+        out["s1"]["bn"]["split_var"], 2 * np.ones((2, 4))
+    )
+    # missing node keeps the template init
+    np.testing.assert_array_equal(out["head"]["bn"]["var"], np.ones(3))

@@ -169,7 +169,7 @@ def test_train_auto_resume_with_opt_state(tmp_path):
     bundle = build_model(cfg1)
     tx, _ = construct_optimizer(cfg1, bundle.params, num_layers=12)
     template = tx.init(bundle.params)
-    _, opt, epoch = cu.load_checkpoint(last, bundle.params, template)
+    _, opt, epoch, _ = cu.load_checkpoint(last, bundle.params, template)
     assert epoch == 0 and opt is not None
     # adam moments are non-zero after a training epoch
     leaves = [np.abs(np.asarray(l)).sum() for l in jax.tree_util.tree_leaves(opt)]

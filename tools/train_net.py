@@ -272,12 +272,11 @@ def train_contrastive(cfg):
             "bn": stats if stats is not None else {},
             "ssl_state": state,
         }
-        all_params, restored_opt, start_epoch = cu.load_checkpoint(
+        all_params, restored_opt, start_epoch, aux = cu.load_checkpoint(
             last, all_params, opt_state, batch_stats_template=aux_template
         )
         if restored_opt is not None:
             opt_state = restored_opt
-        aux = cu.load_checkpoint.last_batch_stats
         if aux is not None:
             stats = aux["bn"] or None
             state = aux["ssl_state"]
@@ -414,12 +413,12 @@ def train(cfg):
     if cfg.TRAIN.AUTO_RESUME and cu.get_last_checkpoint(cfg.OUTPUT_DIR):
         last = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
         opt_template = tx.init(bundle.params)
-        bundle.params, restored_opt, start_epoch = cu.load_checkpoint(
+        bundle.params, restored_opt, start_epoch, bstats = cu.load_checkpoint(
             last, bundle.params, opt_template,
             batch_stats_template=bundle.batch_stats,
         )
-        if cu.load_checkpoint.last_batch_stats is not None:
-            bundle.batch_stats = cu.load_checkpoint.last_batch_stats
+        if bstats is not None:
+            bundle.batch_stats = bstats
         start_epoch += 1
         logger.info("Auto-resumed from %s (epoch %d)", last, start_epoch)
     elif cfg.TRAIN.CHECKPOINT_FILE_PATH:

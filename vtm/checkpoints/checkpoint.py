@@ -69,11 +69,9 @@ def get_last_checkpoint(output_dir: str) -> Optional[str]:
 
 def load_checkpoint(path: str, params_template, opt_state_template=None,
                     batch_stats_template=None):
-    """Restore (params, epoch) — and the optimizer state / BN
-    batch_stats when templates are given and the checkpoint carries
-    them. Returns (params, epoch) or (params, opt_state, epoch);
-    restored batch_stats are exposed via
-    ``load_checkpoint.last_batch_stats`` (None when absent)."""
+    """Restore a native checkpoint. ALWAYS returns the 4-tuple
+    ``(params, opt_state, epoch, batch_stats)`` — opt_state/batch_stats
+    are None when not in the checkpoint (or no template was given)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
@@ -85,7 +83,6 @@ def load_checkpoint(path: str, params_template, opt_state_template=None,
         target["batch_stats"] = jax.tree_util.tree_map(
             np.asarray, batch_stats_template
         )
-    load_checkpoint.last_batch_stats = None
     if opt_state_template is not None:
         with_opt = dict(target)
         with_opt["opt_state"] = jax.tree_util.tree_map(
@@ -93,20 +90,27 @@ def load_checkpoint(path: str, params_template, opt_state_template=None,
         )
         try:
             restored = ckptr.restore(os.path.abspath(path), with_opt)
-            load_checkpoint.last_batch_stats = restored.get("batch_stats")
-            return restored["params"], restored["opt_state"], int(restored["epoch"])
-        except Exception:  # older checkpoint without optimizer state
+            return (restored["params"], restored["opt_state"],
+                    int(restored["epoch"]), restored.get("batch_stats"))
+        except Exception as e:
+            # a silent optimizer reset is a training regression — say
+            # loudly why momentum/Adam moments are starting fresh
+            logger.warning(
+                "checkpoint %s: optimizer state not restored (%s: %s) — "
+                "resuming with a FRESH optimizer state", path,
+                type(e).__name__, str(e)[:300],
+            )
             restored = ckptr.restore(os.path.abspath(path))
-            load_checkpoint.last_batch_stats = restored.get("batch_stats")
-            return restored["params"], None, int(restored["epoch"])
+            return (restored["params"], None, int(restored["epoch"]),
+                    restored.get("batch_stats"))
     try:
         restored = ckptr.restore(os.path.abspath(path), target)
     except Exception:
         # payload richer than the target (opt state / BN stats):
         # restore without a target and take what we need
         restored = ckptr.restore(os.path.abspath(path))
-    load_checkpoint.last_batch_stats = restored.get("batch_stats")
-    return restored["params"], int(restored["epoch"])
+    return (restored["params"], None, int(restored["epoch"]),
+            restored.get("batch_stats"))
 
 
 def merge_into_template(template, converted) -> tuple:
@@ -143,6 +147,43 @@ def merge_into_template(template, converted) -> tuple:
     return jax.tree_util.tree_unflatten(treedef, ordered), loaded, kept
 
 
+def merge_bn_stats(template, converted, num_splits: int = 1):
+    """Overlay converted BN running stats onto the model's batch_stats
+    template, expanding plain-BN checkpoints into sub-BN models: a
+    template ``split_mean/split_var`` [k, C] missing from the converted
+    tree is tiled from the checkpoint's plain ``mean/var`` [C] — the
+    reference's normal_to_sub_bn (checkpoint.py:637-677, which repeats
+    the stats per split). Missing nodes keep the template value."""
+
+    def walk(tmpl, conv):
+        out = {}
+        for k, v in tmpl.items():
+            if isinstance(v, dict):
+                out[k] = walk(v, conv.get(k, {}) if isinstance(conv, dict) else {})
+                continue
+            cand = conv.get(k) if isinstance(conv, dict) else None
+            if cand is not None and np.shape(cand) == np.shape(v):
+                out[k] = np.asarray(cand)
+            elif (
+                k in ("split_mean", "split_var")
+                and isinstance(conv, dict)
+                and conv.get(k.split("_")[1]) is not None
+                and np.shape(v) == (num_splits,) + np.shape(conv[k.split("_")[1]])
+            ):
+                out[k] = np.tile(
+                    np.asarray(conv[k.split("_")[1]]), (num_splits, 1)
+                )
+            else:
+                if cand is not None:
+                    logger.warning(
+                        "batch_stats: keeping init for %s (shape mismatch)", k
+                    )
+                out[k] = v
+        return out
+
+    return walk(template, converted)
+
+
 def load_test_checkpoint(cfg, bundle):
     """Load TEST.CHECKPOINT_FILE_PATH into the model bundle, converting
     torch checkpoints via the per-model converter (reference
@@ -153,11 +194,11 @@ def load_test_checkpoint(cfg, bundle):
         # checkpoint in OUTPUT_DIR, then TRAIN.CHECKPOINT_FILE_PATH
         last = get_last_checkpoint(cfg.OUTPUT_DIR)
         if last is not None:
-            bundle.params, _ = load_checkpoint(
+            bundle.params, _, _, bstats = load_checkpoint(
                 last, bundle.params, batch_stats_template=bundle.batch_stats
             )
-            if load_checkpoint.last_batch_stats is not None:
-                bundle.batch_stats = load_checkpoint.last_batch_stats
+            if bstats is not None:
+                bundle.batch_stats = bstats
             logger.info("Testing with last train checkpoint %s", last)
             return bundle
         if cfg.TRAIN.CHECKPOINT_FILE_PATH:
@@ -166,11 +207,11 @@ def load_test_checkpoint(cfg, bundle):
             logger.info("No checkpoint found — random init")
             return bundle
     if os.path.isdir(path):  # native orbax checkpoint
-        bundle.params, _ = load_checkpoint(
+        bundle.params, _, _, bstats = load_checkpoint(
             path, bundle.params, batch_stats_template=bundle.batch_stats
         )
-        if load_checkpoint.last_batch_stats is not None:
-            bundle.batch_stats = load_checkpoint.last_batch_stats
+        if bstats is not None:
+            bundle.batch_stats = bstats
         return bundle
     from vtm.checkpoints import convert
 
@@ -197,7 +238,16 @@ def load_test_checkpoint(cfg, bundle):
             sd, num_splits=bundle.config.norm.num_splits
         )
         if stats:
-            bundle.batch_stats = stats
+            if bundle.batch_stats is not None:
+                # merge into the template (plain-BN ckpt -> sub-BN model
+                # tiles the running stats per split; partial ckpts keep
+                # the init for missing nodes, like merge_into_template)
+                bundle.batch_stats = merge_bn_stats(
+                    bundle.batch_stats, stats,
+                    bundle.config.norm.num_splits,
+                )
+            else:
+                bundle.batch_stats = stats
     else:
         raise NotImplementedError(bundle.name)
     if bundle.params is not None:

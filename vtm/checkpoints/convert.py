@@ -19,6 +19,10 @@ from typing import Dict, Mapping, Optional
 
 import numpy as np
 
+from vtm.utils.logging import get_logger
+
+logger = get_logger(__name__)
+
 
 def _np(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
@@ -32,9 +36,20 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     bare state dicts (checkpoint.py:295-311)."""
     import torch
 
-    blob = torch.load(path, map_location="cpu", weights_only=False)
+    # weights_only guards against pickle code execution in third-party
+    # checkpoints (the reference's torch branch passes it too); fall
+    # back for legacy files that pickle non-tensor objects
+    try:
+        blob = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        logger.warning(
+            "%s: weights_only load failed, retrying with full pickle", path
+        )
+        blob = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(blob, dict):
-        for key in ("model_state", "model", "state_dict"):
+        # 'module' is the DeepSpeed/MCG-NJU VideoMAE container
+        # (reference checkpoint.py:303-311)
+        for key in ("model_state", "model", "state_dict", "module"):
             if key in blob and isinstance(blob[key], dict):
                 blob = blob[key]
                 break
@@ -587,6 +602,9 @@ def convert_maskmvit(sd: Mapping[str, np.ndarray], depth: int) -> dict:
     (pred_head.transforms.{i}.{j} Sequential -> transforms_{i}_{j}
     blocks + transform_norm_{i} + projections_{i};
     reference head_helper.py:449-560)."""
+    # one normalisation pass for the head keys below; convert_mvit's
+    # internal re-normalisation is a no-op on numpy values (_np returns
+    # ndarray inputs unchanged)
     sd = dict(strip_prefixes({k: _np(v) for k, v in sd.items()}))
     params = convert_mvit(sd, depth)
     head: dict = {}

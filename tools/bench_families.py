@@ -97,18 +97,17 @@ def build(family: str, merged: bool):
     raise KeyError(family)
 
 
-def program_flops(module, params, x) -> float:
-    fn = jax.jit(lambda p, v: module.apply({"params": p}, v)[0])
-    cost = fn.lower(params, x).compile().cost_analysis()
-    if isinstance(cost, (list, tuple)):
-        cost = cost[0]
-    return float(cost.get("flops", float("nan")))
-
-
 def main():
-    # lease-health probe with recovery patience (see bench.py)
+    # lease-health probe with recovery patience + the shared measurement
+    # helpers — one implementation feeds BOTH artifacts (BENCH_DETAIL
+    # and BENCH_FAMILIES), so a probe/FLOP-count fix cannot diverge
     sys.path.insert(0, str(REPO))
-    from bench import _probe_device
+    from bench import (
+        _probe_device,
+        nominal_or_probe_peak,
+        peak_matmul_tflops,
+        program_flops,
+    )
 
     _probe_device()
     iters = int(os.environ.get("VTM_BENCH_ITERS", "20"))
@@ -118,12 +117,7 @@ def main():
     ).split(",")
     rtt = host_roundtrip_latency()
 
-    from bench import nominal_or_probe_peak
-
-    m = jnp.ones((4096, 4096), jnp.bfloat16)
-    probe = 2 * 4096 ** 3 * 50 / chained_seconds(
-        lambda v: v @ v, m, 50, rtt=rtt
-    ) / 1e12
+    probe = peak_matmul_tflops(rtt)
     # nominal peak when the device kind is known — the probe drifts
     # +/-20% (observed above spec) and makes MFU incomparable across runs
     peak = nominal_or_probe_peak(str(jax.devices()[0]), probe)

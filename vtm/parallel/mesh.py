@@ -40,7 +40,10 @@ def init_distributed(cfg) -> None:
         if coordinator.startswith(prefix):
             coordinator = coordinator[len(prefix):]
     jax.distributed.initialize(
-        coordinator_address=coordinator,
+        # "" (unset / the torch "env://" convention) must become None so
+        # jax auto-detects the coordinator from the environment instead
+        # of dialing an empty address
+        coordinator_address=coordinator or None,
         num_processes=cfg.NUM_SHARDS,
         process_id=cfg.SHARD_ID,
     )
@@ -59,13 +62,17 @@ def make_mesh(
         assert len(devices) % model_parallel == 0, (
             f"{len(devices)} devices not divisible by model_parallel={model_parallel}"
         )
+        assert tuple(axis_names) in (("data",), ("data", "model")), (
+            f"model_parallel>1 uses ('data', 'model') axes, got {axis_names}"
+        )
         arr = np.array(devices).reshape(-1, model_parallel)
         return Mesh(arr, axis_names=("data", "model"))
-    if len(axis_names) == 1:
-        arr = np.array(devices)
-    else:
+    if tuple(axis_names) == ("data", "model"):
+        # the documented 2-D layout spelled explicitly: trivial model axis
+        return Mesh(np.array(devices).reshape(-1, 1), axis_names=("data", "model"))
+    if len(axis_names) != 1:
         raise NotImplementedError("pass model_parallel= for a 2-D mesh")
-    return Mesh(arr, axis_names=tuple(axis_names))
+    return Mesh(np.array(devices), axis_names=tuple(axis_names))
 
 
 def shard_batch(mesh: Mesh, tree, axis: str = "data"):

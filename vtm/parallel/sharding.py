@@ -56,15 +56,20 @@ def tp_param_specs(params, model_axis: str = "model"):
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def _default_specs(mesh: Mesh, params):
+    """One source of truth for the default placement: tp cuts when the
+    mesh has a 'model' axis, fully replicated otherwise — shard_params
+    and the jit in_shardings must always agree."""
+    if "model" in mesh.axis_names:
+        return tp_param_specs(params)
+    return jax.tree_util.tree_map(lambda _: P(), params)
+
+
 def shard_params(mesh: Mesh, params, specs=None):
     """Place params on the mesh per ``specs`` (tp specs by default when
     the mesh has a 'model' axis, else fully replicated)."""
     if specs is None:
-        specs = (
-            tp_param_specs(params)
-            if "model" in mesh.axis_names
-            else jax.tree_util.tree_map(lambda _: P(), params)
-        )
+        specs = _default_specs(mesh, params)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
@@ -73,10 +78,6 @@ def shard_params(mesh: Mesh, params, specs=None):
 def param_shardings(mesh: Mesh, params, specs=None):
     """NamedSharding pytree (for jit in_shardings) matching shard_params."""
     if specs is None:
-        specs = (
-            tp_param_specs(params)
-            if "model" in mesh.axis_names
-            else jax.tree_util.tree_map(lambda _: P(), params)
-        )
+        specs = _default_specs(mesh, params)
     return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
                                   is_leaf=lambda s: isinstance(s, P))

@@ -76,7 +76,19 @@ def chained_seconds(
         t0 = time.perf_counter()
         float(fn(params, x))
         best = min(best, time.perf_counter() - t0)
-    return max(best - rtt, 1e-9)
+    if best <= rtt:
+        # the measurement is all host round-trip: silently clamping to
+        # ~0 would publish absurd throughput into the bench artifacts —
+        # surface it and return the un-corrected floor instead
+        import warnings
+
+        warnings.warn(
+            f"chained_seconds: chain time {best * 1e3:.2f} ms <= host rtt "
+            f"{rtt * 1e3:.2f} ms — below the timing floor; raise iters",
+            stacklevel=2,
+        )
+        return best
+    return best - rtt
 
 
 def benchmark(

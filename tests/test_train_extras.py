@@ -243,6 +243,10 @@ def test_train_e2e_kinetics_with_relative_crop(tmp_path):
         "DATA.TRAIN_JITTER_SCALES", "[32, 40]",
         "DATA.TRAIN_JITTER_SCALES_RELATIVE", "[0.5, 1.0]",
         "DATA.TRAIN_JITTER_ASPECT_RELATIVE", "[0.75, 1.3333]",
+        # the tome_train_* regularisation: stochastic depth + dropout
+        "VIDEOMAE.DROP_PATH_RATE", "0.1",
+        "VIDEOMAE.DROP_RATE", "0.1",
+        "VIDEOMAE.FC_DROP_RATE", "0.1",
         "AUG.ENABLE", "True",
         "AUG.AA_TYPE", "rand-m7-n2-mstd0.5-inc1",
         "AUG.RE_PROB", "0.25",

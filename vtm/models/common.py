@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -52,6 +53,18 @@ def proportional_attn_bias(size: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]
     if size is None:
         return None
     return jnp.log(size[:, :, 0])[:, None, None, :]
+
+
+def drop_path(module: nn.Module, z: jnp.ndarray, rate: float, train: bool):
+    """Stochastic depth on a residual branch (timm semantics: per-sample
+    bernoulli keep, scaled by 1/keep). Uses the module's 'dropout' rng."""
+    if not train or rate <= 0.0:
+        return z
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(
+        module.make_rng("dropout"), keep, (z.shape[0],) + (1,) * (z.ndim - 1)
+    )
+    return z * mask.astype(z.dtype) / keep
 
 
 class TubeletEmbed(nn.Module):

@@ -26,6 +26,7 @@ from flax import linen as nn
 from vtm.merge.policy import MergePolicy, MergeState, reduce_tokens
 from vtm.models.build import ModelBundle, compute_dtype, duplication_plan, make_policy, register_model
 from vtm.models.common import (
+    proportional_attn_bias,
     LayerNorm,
     Mlp,
     attention_core,
@@ -100,9 +101,7 @@ class TimeSformerAttention(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (split_heads(z, self.num_heads) for z in (q, k, v))
         scale = (self.dim // self.num_heads) ** -0.5
-        size_bias = None
-        if size is not None:
-            size_bias = jnp.log(size[:, :, 0])[:, None, None, :]
+        size_bias = proportional_attn_bias(size)
         out = attention_core(
             q, k, v, scale, size_bias, bias_excludes_first=size_bias is not None
         )

@@ -28,6 +28,7 @@ from vtm.models.common import (
     TubeletEmbed,
     aggregate_metric,
     attention_core,
+    drop_path,
     merge_heads,
     proportional_attn_bias,
     sinusoid_encoding_table,
@@ -115,10 +116,12 @@ class VideoMAEBlock(nn.Module):
 
     config: VideoMAEConfig
     policy: MergePolicy
+    drop_path_rate: float = 0.0  # this block's stochastic-depth rate
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, state: MergeState, layer: int, metric_only: bool = False):
+    def __call__(self, x, state: MergeState, layer: int,
+                 metric_only: bool = False, train: bool = False):
         c = self.config
         use_gamma = c.init_values > 0
         attn_out, metric = VideoMAEAttention(
@@ -132,20 +135,24 @@ class VideoMAEBlock(nn.Module):
             # reference ToMeDuplicateBlock (tome/patch/videomae.py:33-44):
             # metric + reduction only, no residual update.
             return reduce_tokens(self.policy, layer, metric, x, state)
+        if train and c.drop_rate > 0.0:  # reference Attention proj_drop
+            attn_out = nn.Dropout(c.drop_rate)(attn_out, deterministic=False)
         if use_gamma:
             gamma_1 = self.param("gamma_1", nn.initializers.constant(c.init_values), (c.embed_dim,))
             attn_out = attn_out * gamma_1.astype(attn_out.dtype)
-        x = x + attn_out
+        x = x + drop_path(self, attn_out, self.drop_path_rate, train)
 
         x, state = reduce_tokens(self.policy, layer, metric, x, state)
 
         mlp_out = Mlp(
-            int(c.embed_dim * c.mlp_ratio), c.embed_dim, dtype=self.dtype, name="mlp"
-        )(LayerNorm(epsilon=c.layer_norm_eps, name="norm2")(x))
+            int(c.embed_dim * c.mlp_ratio), c.embed_dim, dtype=self.dtype,
+            dropout=c.drop_rate, name="mlp",
+        )(LayerNorm(epsilon=c.layer_norm_eps, name="norm2")(x),
+          deterministic=not train)
         if use_gamma:
             gamma_2 = self.param("gamma_2", nn.initializers.constant(c.init_values), (c.embed_dim,))
             mlp_out = mlp_out * gamma_2.astype(mlp_out.dtype)
-        return x + mlp_out, state
+        return x + drop_path(self, mlp_out, self.drop_path_rate, train), state
 
 
 class VideoMAE(nn.Module):
@@ -163,11 +170,11 @@ class VideoMAE(nn.Module):
     layer_schedule: Optional[Sequence[Tuple[int, bool]]] = None
 
     @nn.compact
-    def __call__(self, x, state: Optional[MergeState] = None, rng: Optional[jax.Array] = None):
+    def __call__(self, x, state: Optional[MergeState] = None,
+                 rng: Optional[jax.Array] = None, train: bool = False):
         c = self.config
         if state is None:
             state = MergeState(rng=rng)
-        b = x.shape[0]
         # tubelet embedding (conv3d semantics via the fast 2-D path)
         x = TubeletEmbed(
             c.embed_dim,
@@ -178,20 +185,32 @@ class VideoMAE(nn.Module):
         )(x)
         pos = sinusoid_encoding_table(c.tokens, c.embed_dim)
         x = x + jnp.asarray(pos, dtype=x.dtype)
+        if train and c.drop_rate > 0.0:  # reference pos_drop
+            x = nn.Dropout(c.drop_rate)(x, deterministic=False)
 
+        # per-BLOCK stochastic-depth rates, linearly spaced like the
+        # reference (builder:206); duplicated blocks keep their own rate
+        dpr = [
+            c.drop_path_rate * i / max(c.depth - 1, 1) for i in range(c.depth)
+        ]
         schedule = self.layer_schedule or [(i, False) for i in range(c.depth)]
         blocks = {}
         for step, (layer_idx, metric_only) in enumerate(schedule):
             if layer_idx not in blocks:
                 blocks[layer_idx] = VideoMAEBlock(
-                    c, self.policy, dtype=self.dtype, name=f"blocks_{layer_idx}"
+                    c, self.policy, drop_path_rate=dpr[layer_idx],
+                    dtype=self.dtype, name=f"blocks_{layer_idx}"
                 )
-            x, state = blocks[layer_idx](x, state, layer=step, metric_only=metric_only)
+            x, state = blocks[layer_idx](
+                x, state, layer=step, metric_only=metric_only, train=train
+            )
 
         if c.use_mean_pooling:
             feats = LayerNorm(epsilon=c.layer_norm_eps, name="fc_norm")(x.mean(axis=1))
         else:
             feats = LayerNorm(epsilon=c.layer_norm_eps, name="norm")(x)[:, 0]
+        if train and c.fc_drop_rate > 0.0:  # reference fc_dropout
+            feats = nn.Dropout(c.fc_drop_rate)(feats, deterministic=False)
 
         if c.multi_head:
             logits = tuple(
@@ -236,15 +255,14 @@ from vtm.models.build import ModelBundle, compute_dtype, duplication_plan, make_
 
 @register_model("VideoMAE")
 def _build_videomae_bundle(cfg) -> ModelBundle:
-    policy = make_policy(cfg, 12 if "huge" not in cfg.VIDEOMAE.MODEL else 32,
-                         n_protected_class_token=False)
+    if cfg.VIDEOMAE.ATTN_DROP_RATE > 0:
+        raise NotImplementedError(
+            "VIDEOMAE.ATTN_DROP_RATE: probability dropout inside the fused "
+            "attention kernel is unsupported (every reference config sets 0)"
+        )
+    depth = VARIANTS[cfg.VIDEOMAE.MODEL]["depth"]
+    policy = make_policy(cfg, depth, n_protected_class_token=False)
     module = build_videomae(cfg, policy=policy, dtype=compute_dtype(cfg))
-    # depth may differ from the policy guess for large variants; rebuild
-    # the policy against the real depth.
-    depth = module.config.depth
-    if len(policy.rs) != depth:
-        policy = make_policy(cfg, depth, n_protected_class_token=False)
-        module = build_videomae(cfg, policy=policy, dtype=compute_dtype(cfg))
     plan = duplication_plan(cfg, depth)
     if plan is not None:
         module = VideoMAE(

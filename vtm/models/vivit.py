@@ -130,6 +130,9 @@ class ViViTLayer(nn.Module):
 
         y = LayerNorm(epsilon=c.layer_norm_eps, name="layernorm_after")(x)
         y = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(y)
+        if c.hidden_act not in ("gelu", "gelu_fast", "gelu_new", "gelu_pytorch_tanh"):
+            # a silent exact-gelu fallback breaks parity with no diagnostic
+            raise NotImplementedError(f"hidden_act {c.hidden_act!r}")
         y = nn.gelu(y, approximate=c.hidden_act in ("gelu_fast", "gelu_new", "gelu_pytorch_tanh"))
         y = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(y)
         return x + y, state

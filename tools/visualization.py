@@ -101,8 +101,9 @@ def run_visualization(cfg):
                     f"activations/{name}", np.asarray(arr), global_step=bi
                 )
         if preds is None:
+            # bundle.variables carries batch_stats for the conv families
             logits, _ = bundle.module.apply(
-                {"params": bundle.params}, jnp.asarray(frames)
+                bundle.variables, jnp.asarray(frames)
             )
             preds = np.asarray(logits if not isinstance(logits, tuple) else logits[0])
         if mv.TOPK_PREDS:

@@ -53,12 +53,29 @@ class GradCAM:
     """
 
     def __init__(self, bundle, target_layer: Optional[str] = None, colormap="viridis"):
+        import dataclasses
+
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         self.bundle = bundle
+        self.module = bundle.module
+        policy = getattr(bundle, "policy", None)
+        if (
+            policy is not None
+            and policy.mode != "none"
+            and any(policy.rs)
+            and not policy.trace_source
+        ):
+            # merged maps must be unrolled through the source adjacency
+            # to reshape to the original grid — force tracing for this
+            # module regardless of TOME.TRACE_SOURCE (same clone
+            # mechanism as ModelBundle.apply)
+            self.module = bundle.module.clone(
+                policy=dataclasses.replace(policy, trace_source=True)
+            )
         depth = getattr(bundle.config, "depth", None) or getattr(
             bundle.config, "num_hidden_layers", 12
         )
@@ -75,32 +92,40 @@ class GradCAM:
         self, x: jnp.ndarray, labels: Optional[np.ndarray] = None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (maps [B, n_tokens_orig] in [0,1], preds [B, C])."""
-        module = self.bundle.module
+        module = self.module
         variables = self.bundle.variables
 
-        logits0, state0, act0 = _apply_with_perturbation(
-            module, variables, x, self.target_layer, 0.0
+        # activation shape without running the model (tracing only) —
+        # the real forward happens ONCE, inside the grad below
+        shapes = jax.eval_shape(
+            lambda v, xx: _apply_with_perturbation(
+                module, v, xx, self.target_layer, 0.0
+            ),
+            variables, x,
         )
-        if act0 is None:
+        if shapes[2] is None:
             raise KeyError(
                 f"target layer {self.target_layer!r} not found in "
                 f"{self.bundle.name} (use the flax path, e.g. 'blocks_5')"
             )
-        preds = np.asarray(logits0 if not isinstance(logits0, tuple) else logits0[0])
-        if labels is None:
-            labels = preds.argmax(axis=-1)
 
         def score_fn(eps):
-            logits, _, _ = _apply_with_perturbation(
+            logits, state, act = _apply_with_perturbation(
                 module, variables, x, self.target_layer, eps
             )
-            if isinstance(logits, tuple):
-                logits = logits[0]
-            return jnp.take_along_axis(
-                logits, jnp.asarray(labels)[:, None], axis=1
-            ).sum()
+            lg = logits[0] if isinstance(logits, tuple) else logits
+            lab = (
+                jnp.asarray(labels)
+                if labels is not None
+                else jnp.argmax(lg, axis=-1)  # int indices: no grad path
+            )
+            score = jnp.take_along_axis(lg, lab[:, None], axis=1).sum()
+            return score, (lg, state, act)
 
-        grads = jax.grad(score_fn)(jnp.zeros_like(act0))  # [B', N', D]
+        grads, (logits0, state0, act0) = jax.grad(score_fn, has_aux=True)(
+            jnp.zeros(shapes[2].shape, shapes[2].dtype)
+        )  # [B', N', D]
+        preds = np.asarray(logits0)
         act = np.asarray(act0, np.float32)
         grads = np.asarray(grads, np.float32)
 
@@ -118,19 +143,36 @@ class GradCAM:
         weights = grads.mean(axis=1, keepdims=True)  # [B', 1, D]
         cam = np.maximum((weights * act).sum(axis=-1), 0.0)  # [B', N']
 
-        if self.class_token and self.bundle.name in ("ViViT",):
-            cam = cam[:, 1:]
-        if self.bundle.name in ("TimeSformer", "Motionformer"):
+        if self.class_token:
             cam = cam[:, 1:]  # strip CLS from the flat sequence
 
         # broadcast merged-token maps back to the original grid
         if state0.source is not None:
-            src = np.asarray(state0.source, np.float32)  # [B', n_t, n_0]
-            if self.class_token and src.shape[2] == cam.shape[1] + 1:
-                src = src[:, :, 1:]
-            if src.shape[1] == cam.shape[1] + 1:
-                src = src[:, 1:, :]
-            cam = np.einsum("bn,bnm->bm", cam[:, : src.shape[1]], src)
+            src = np.asarray(state0.source, np.float32)
+            b = cam.shape[0]
+            if src.shape[0] == b:
+                # spatio-temporal merging (VideoMAE/ViViT):
+                # src [B, n_t, n_0]; protected CLS stays at position 0
+                # of BOTH axes for ViViT (eye init spans all tokens)
+                if self.class_token:
+                    src = src[:, :, 1:]
+                if src.shape[1] == cam.shape[1] + 1:
+                    src = src[:, 1:, :]
+                cam = np.einsum("bn,bnm->bm", cam[:, : src.shape[1]], src)
+            else:
+                # per-frame merging (TimeSformer/Motionformer): merging
+                # ran on the frame-folded CLS-less tokens, so src is
+                # [(B*T), p_t, p_0] and the model's flat body order is
+                # spatial-major ((p t) / (s f)) — fold, unroll, unfold
+                t = src.shape[0] // b
+                p_t, p0 = src.shape[1], src.shape[2]
+                per = (
+                    cam.reshape(b, p_t, t).transpose(0, 2, 1).reshape(b * t, p_t)
+                )
+                out = np.einsum("bn,bnm->bm", per, src)  # [(B*T), p_0]
+                cam = (
+                    out.reshape(b, t, p0).transpose(0, 2, 1).reshape(b, p0 * t)
+                )
 
         lo = cam.min(axis=1, keepdims=True)
         hi = cam.max(axis=1, keepdims=True)
@@ -169,7 +211,8 @@ class GradCAM:
             gt, gs = c.temporal_resolution, h // c.patch_size
         else:  # TimeSformer: (p t) order handled below
             gt, gs = t, h // c.patch_size
-        if self.bundle.name == "TimeSformer":
+        if self.bundle.name in ("TimeSformer", "Motionformer"):
+            # spatial-major flat order ((p t) / (s f)) -> (t, h, w)
             grid = cam_tokens.reshape(gs * gs, gt).T.reshape(gt, gs, gs)
         else:
             grid = cam_tokens.reshape(gt, gs, gs)

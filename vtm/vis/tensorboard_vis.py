@@ -40,6 +40,14 @@ def plot_confusion_matrix(cm: np.ndarray, num_classes: int, class_names=None, fi
 
     if class_names is None or not isinstance(class_names, list):
         class_names = [str(i) for i in range(num_classes)]
+    elif len(class_names) != num_classes:
+        # a mismatched names file (e.g. full-Kinetics names with a
+        # subset head) would crash set_xticklabels at the end of a full
+        # eval — truncate/pad instead
+        class_names = (
+            class_names[:num_classes]
+            + [str(i) for i in range(len(class_names), num_classes)]
+        )
     fig = plt.figure(figsize=figsize)
     ax = fig.add_subplot(1, 1, 1)
     im = ax.imshow(cm, interpolation="nearest", cmap=plt.cm.Blues)

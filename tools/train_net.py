@@ -523,7 +523,7 @@ def train(cfg):
                          cfg.DATA.TRAIN_CROP_SIZE, 3), jnp.float32,
                     )
                     bn_stats = adapt_batch_stats(
-                        bundle.module, params, bn_stats, sample
+                        bundle.module, bn_stats, sample
                     )
                     bn_stats = replicate(mesh, bn_stats)
                 train_step = make_train_step(
@@ -563,24 +563,26 @@ def train(cfg):
         )
         is_ckpt = (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0
         is_eval = (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
-        if bn_stats is not None and cfg.BN.NORM_TYPE == "sub_batchnorm" and (
-            is_ckpt or is_eval
-        ):
-            # fold per-split running stats into the eval stats
-            # (reference aggregate_sub_bn_stats before eval/save,
-            # train_net.py:871-874 + batchnorm_helper.py:73-100)
-            from vtm.models.convnet import aggregate_subbn_stats
-
-            bn_stats = aggregate_subbn_stats(bn_stats)
         if bn_stats is not None and cfg.BN.USE_PRECISE_STATS and (is_ckpt or is_eval):
-            # reference: calculate_and_update_precise_bn before saving or
-            # evaluating (train_net.py:879-891)
+            # reference: calculate_and_update_precise_bn FIRST
+            # (train_net.py:879-891) — under sub-BN the precise forward
+            # refreshes the SPLIT stats, which only reach the eval
+            # mean/var through the aggregation below
             from vtm.train.precise_bn import compute_precise_bn_stats
 
             bn_stats = compute_precise_bn_stats(
                 bundle.module, params, bn_stats, train_loader,
                 min(cfg.BN.NUM_BATCHES_PRECISE, len(train_loader)),
             )
+        if bn_stats is not None and cfg.BN.NORM_TYPE == "sub_batchnorm" and (
+            is_ckpt or is_eval
+        ):
+            # fold per-split running stats into the eval stats
+            # (reference aggregate_sub_bn_stats after precise-BN,
+            # train_net.py:871-874 + batchnorm_helper.py:73-100)
+            from vtm.models.convnet import aggregate_subbn_stats
+
+            bn_stats = aggregate_subbn_stats(bn_stats)
         if is_ckpt:
             cu.save_checkpoint(cfg.OUTPUT_DIR, params, opt_state, cur_epoch, cfg,
                                batch_stats=bn_stats)

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -10,6 +11,13 @@ def cross_entropy(logits, labels, label_smoothing: float = 0.0):
     """labels may be int class ids or soft distributions (mixup)."""
     if labels.ndim == logits.ndim:
         return optax.softmax_cross_entropy(logits, labels).mean()
+    if label_smoothing > 0.0:
+        n = logits.shape[-1]
+        soft = (
+            jax.nn.one_hot(labels, n) * (1.0 - label_smoothing)
+            + label_smoothing / n
+        )
+        return optax.softmax_cross_entropy(logits, soft).mean()
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
 
 

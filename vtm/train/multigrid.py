@@ -163,7 +163,7 @@ def short_cycle_batch_sizes(batch_size: int, cfg):
     return [batch_size * bs_factor[0], batch_size * bs_factor[1], batch_size]
 
 
-def adapt_batch_stats(module, params, old_stats, sample):
+def adapt_batch_stats(module, old_stats, sample):
     """Re-shape the BN stat tree after a long-cycle NORM_TYPE flip:
     initialise the new structure and overlay every leaf that still
     exists (mean/var carry over; fresh split stats start from init)."""

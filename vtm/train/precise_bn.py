@@ -24,27 +24,44 @@ def _with_momentum_one(module):
     return module.clone(spec=dataclasses.replace(spec, norm=norm))
 
 
-def compute_precise_bn_stats(
-    module, params, batch_stats, loader, num_batches: int, rng=None
-):
-    """Returns batch_stats whose mean/var are the average of the
-    per-batch statistics over ``num_batches`` batches of ``loader``."""
+# one jitted stats-forward per source module (keyed by identity; the
+# tuple keeps the module alive so the id is never recycled) — a fresh
+# jit closure per call recompiled the whole conv forward at EVERY
+# precise-BN epoch
+_JIT_CACHE: dict = {}
+
+
+def _batch_stats_fn(module):
+    hit = _JIT_CACHE.get(id(module))
+    if hit is not None:
+        return hit[1]
     m1 = _with_momentum_one(module)
-    rng = rng if rng is not None else jax.random.key(0)
 
     @jax.jit
-    def batch_stats_of(p, bn, frames):
+    def batch_stats_of(p, bn, frames, rng):
         _, mutated = m1.apply(
             {"params": p, "batch_stats": bn}, frames, train=True,
             mutable=["batch_stats"], rngs={"dropout": rng},
         )
         return mutated["batch_stats"]
 
+    _JIT_CACHE[id(module)] = (module, batch_stats_of)
+    return batch_stats_of
+
+
+def compute_precise_bn_stats(
+    module, params, batch_stats, loader, num_batches: int, rng=None
+):
+    """Returns batch_stats whose mean/var are the average of the
+    per-batch statistics over ``num_batches`` batches of ``loader``."""
+    rng = rng if rng is not None else jax.random.key(0)
+    batch_stats_of = _batch_stats_fn(module)
+
     total = None
     seen = 0
     for batch in loader:
         frames = jnp.asarray(np.asarray(batch["frames"]))
-        stats = batch_stats_of(params, batch_stats, frames)
+        stats = batch_stats_of(params, batch_stats, frames, rng)
         total = (
             stats
             if total is None

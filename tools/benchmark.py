@@ -24,12 +24,14 @@ def benchmark_data_loading(cfg) -> dict:
     if not cfg.BENCHMARK.SHUFFLE:
         loader.shuffle = False
     total_batches = 0
+    total_clips = 0  # actual sizes (multigrid short-cycle batches vary)
     start = time.perf_counter()
     for epoch in range(cfg.BENCHMARK.NUM_EPOCHS):
         shuffle_dataset(loader, epoch)
         epoch_start = time.perf_counter()
         for cur_iter, batch in enumerate(loader):
             total_batches += 1
+            total_clips += len(batch["index"])
             if (cur_iter + 1) % cfg.BENCHMARK.LOG_PERIOD == 0:
                 log_json_stats(
                     {
@@ -50,7 +52,7 @@ def benchmark_data_loading(cfg) -> dict:
         "split": "data_benchmark",
         "total_batches": total_batches,
         "batches_per_sec": total_batches / elapsed,
-        "clips_per_sec": total_batches * cfg.TRAIN.BATCH_SIZE / elapsed,
+        "clips_per_sec": total_clips / elapsed,
         "peak_rss_bytes": peak_rss,
     }
     log_json_stats(stats, logger)

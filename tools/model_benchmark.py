@@ -72,8 +72,16 @@ def model_benchmark(cfg) -> dict:
     wandb_utils.init(cfg)
     bundle = build_model(cfg)
     bundle = load_test_checkpoint(cfg, bundle)
-    mesh = make_mesh()
-    params = replicate(mesh, bundle.params)
+    # same placement as test_net: TP cuts when TPU.MODEL_PARALLEL>1 —
+    # benchmarking a replicated layout under a TP config would report
+    # numbers for a different program than the config describes
+    mesh = make_mesh(model_parallel=cfg.TPU.MODEL_PARALLEL)
+    if cfg.TPU.MODEL_PARALLEL > 1:
+        from vtm.parallel.sharding import shard_params
+
+        params = shard_params(mesh, bundle.params)
+    else:
+        params = replicate(mesh, bundle.params)
     return perform_benchmark(bundle.module, params, cfg, mesh,
                              batch_stats=bundle.batch_stats)
 

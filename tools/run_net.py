@@ -23,9 +23,8 @@ def main():
         if cfg.TEST.ENABLE:
             from tools.test_net import test
 
-            # reference run_net.py:29-35: NUM_ENSEMBLE_VIEWS == -1 sweeps views
-            if cfg.TEST.NUM_ENSEMBLE_VIEWS == -1:
-                cfg.TEST.NUM_TEMPORAL_CLIPS = [1, 3, 5, 7, 10]
+            # NUM_ENSEMBLE_VIEWS == -1 sweeps views; test() expands it
+            # (tools/test_net.py views_list) — one copy of the [1,3,5,7,10]
             test(cfg)
 
 

@@ -193,10 +193,25 @@ def test(cfg):
         stats = perform_test(loader, eval_step, params, meter, cfg, padded_bs)
         results.append((num_view, stats))
         wandb_utils.log({"num_views": num_view, **{k: v for k, v in stats.items()}})
-        if tb_writer is not None and not isinstance(meter, EPICTestMeter):
+        # AVAMeter has no per-video preds (detection scores go through
+        # finalize_metrics); the vis/save branches below are
+        # classification-only
+        is_cls = hasattr(meter, "video_preds") or isinstance(
+            meter, EPICTestMeter
+        )
+        if tb_writer is not None and hasattr(meter, "video_preds"):
             tb_writer.plot_eval(meter.video_preds, meter.video_labels)
-        if cfg.TEST.SAVE_RESULTS_PATH:
-            with open(cfg.TEST.SAVE_RESULTS_PATH, "wb") as f:
+        if cfg.TEST.SAVE_RESULTS_PATH and is_cls:
+            # suffix per sweep entry — a bare path would overwrite the
+            # previous views' predictions on every pass
+            save_path = cfg.TEST.SAVE_RESULTS_PATH
+            if len(views_list) > 1:
+                root, dot, ext = save_path.rpartition(".")
+                save_path = (
+                    f"{root}_views{num_view}.{ext}" if dot else
+                    f"{save_path}_views{num_view}"
+                )
+            with open(save_path, "wb") as f:
                 if isinstance(meter, EPICTestMeter):
                     pickle.dump(
                         {

@@ -58,13 +58,11 @@ def roi_align(
     y0 = y0.astype(jnp.int32)
     x0 = x0.astype(jnp.int32)
 
-    per_box = feat[b_idx]  # [N, H, W, C]
-
     def gather(yi, xi):
-        # per_box[n, yi[n, :, None], xi[n, None, :]] -> [N, g, g, C]
-        return per_box[
-            jnp.arange(n)[:, None, None], yi[:, :, None], xi[:, None, :]
-        ]
+        # fold the batch index into ONE gather -> [N, g, g, C]; a
+        # feat[b_idx] pre-copy would materialise an [N, H, W, C]
+        # intermediate (~hundreds of MB at padded box counts)
+        return feat[b_idx[:, None, None], yi[:, :, None], xi[:, None, :]]
 
     f00 = gather(y0, x0)
     f01 = gather(y0, x1i)

@@ -267,6 +267,117 @@ def test_frame_kernel_gradients_match_reference(f, s, h, with_bias):
 
 
 @pytest.mark.parametrize(
+    "f,s,h,with_bias,excl",
+    [
+        (8, 197, 4, True, True),    # TimeSformer shape: CLS-excluded bias
+        (8, 197, 4, False, False),  # unbiased (baseline path)
+        (4, 50, 3, True, True),     # odd heads: g == h fallback
+        (5, 8, 4, True, False),     # odd frames: fcs=1; plain (all-rows) bias
+        (8, 193, 2, True, True),    # non-lane-aligned s
+    ],
+)
+def test_blockdiag_kernel_matches_reference(f, s, h, with_bias, excl):
+    """Block-diagonal per-frame attention (TimeSformer divided spatial
+    attention): frame fi's queries attend only to frame fi's keys; the
+    CLS-excluded size bias applies to rows > 0 of each frame."""
+    from vtm.ops.flash_attention import _blockdiag_reference, tome_blockdiag_attention
+
+    b, d = 2, 16
+    n = f * s
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = (
+        jnp.asarray(np.log(rng.uniform(1, 4, (b, n))), jnp.float32)
+        if with_bias
+        else None
+    )
+    ref = np.asarray(_blockdiag_reference(q, k, v, bias, 0.25, f, excl))
+    got = np.asarray(tome_blockdiag_attention(q, k, v, bias, 0.25, f, excl))
+    assert got.shape == (b, n, h * d)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+def test_blockdiag_matches_folded_attention_core():
+    """The kernel on the unfolded [B, f*s] frame-major layout must equal
+    attention_core on the folded (b t) batch — the two formulations the
+    TimeSformer block dispatches between."""
+    from vtm.models.common import attention_core
+    from vtm.ops.flash_attention import tome_blockdiag_attention
+
+    b, f, h, s, d = 2, 4, 3, 33, 16
+    n = f * s
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    sizes = rng.uniform(1, 4, (b, f, s))
+    sizes[:, :, 0] = 1.0  # CLS
+    kb = jnp.asarray(np.log(sizes), jnp.float32).reshape(b, n)
+
+    got = np.asarray(
+        tome_blockdiag_attention(q, k, v, kb, 0.25, f, True)
+    ).reshape(b, f, s, h * d)
+
+    fold = lambda z: z.reshape(b, h, f, s, d).transpose(0, 2, 1, 3, 4).reshape(b * f, h, s, d)  # noqa: E731
+    sb = jnp.asarray(np.log(sizes[:, :, 1:]), jnp.float32).reshape(b * f, 1, 1, s - 1)
+    ref = attention_core(fold(q), fold(k), fold(v), 0.25, sb, bias_excludes_first=True)
+    ref = np.asarray(jnp.transpose(ref, (0, 2, 1, 3)).reshape(b, f, s, h * d))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "f,s,h,with_bias,excl",
+    [
+        (8, 40, 4, True, True),
+        (4, 50, 3, True, False),  # odd heads
+        (8, 40, 4, False, False),
+        (5, 8, 4, True, True),    # odd frames
+    ],
+)
+def test_blockdiag_gradients_match_reference(f, s, h, with_bias, excl):
+    """Fused block-diagonal backward (pure local writes — every
+    (head, frame) pair lives in exactly one program) vs the dense
+    reference vjp, including the row-masked bias cotangent."""
+    from vtm.ops.flash_attention import _blockdiag_reference, tome_blockdiag_attention
+
+    b, d = 2, 16
+    n = f * s
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = (
+        jnp.asarray(np.log(rng.uniform(1, 5, (b, n))), jnp.float32)
+        if with_bias
+        else None
+    )
+    cot = jnp.asarray(rng.standard_normal((b, n, h * d)), jnp.float32)
+
+    def loss(fn):
+        def inner(q_, k_, v_, b_):
+            return (fn(q_, k_, v_, b_, 0.25, f, excl) * cot).sum()
+
+        return inner
+
+    argnums = (0, 1, 2) + ((3,) if with_bias else ())
+    got = jax.grad(loss(tome_blockdiag_attention), argnums=argnums)(q, k, v, bias)
+    ref = jax.grad(
+        loss(
+            lambda q_, k_, v_, b_, s_, f_, e_: _blockdiag_reference(
+                q_, k_, v_, b_, s_, f_, e_
+            )
+        ),
+        argnums=argnums,
+    )(q, k, v, bias)
+    for name, a, b_ in zip(["dq", "dk", "dv", "dbias"], got, ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4, err_msg=name
+        )
+
+
+@pytest.mark.parametrize(
     "f,s,blk_q",
     [
         (8, 196, 784),   # Motionformer ViT-B/224 production shape

@@ -835,3 +835,346 @@ def _frame_bwd(sm_scale, frames, blk_q, res, g):
 
 
 tome_frame_attention.defvjp(_frame_fwd, _frame_bwd)
+
+
+# --------------------------------------------- block-diagonal (per-frame)
+
+
+def _make_blockdiag_kernel(fcs: int, s_pad: int, group: int, masked_rows: bool):
+    def _blockdiag_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        """One (b, head-group, frame-chunk) program of BLOCK-DIAGONAL
+        per-frame attention — TimeSformer's divided spatial attention
+        (reference tome/patch/timesformer.py:60-83): each frame's
+        queries attend only to that frame's keys, unlike the trajectory
+        frame kernel where every query attends to every frame. Per
+        (head, frame): one [s_pad, s_pad] fp32 logits tile (never in
+        HBM — the einsum path materialises [bt, h, s, s] fp32 per
+        layer), softmax, PV; the group's head columns concatenate into
+        one token-major lane-aligned write. ``masked_rows`` applies the
+        size bias to rows > 0 only (the CLS-excluded proportional
+        attention: logits[:, :, 1:, 1:] += log size); bias row 0 is the
+        pad mask (-1e30 at pad keys), applied to ALL rows so the CLS
+        query cannot attend to padding."""
+        for fi in range(fcs):
+            lo = fi * s_pad
+            cols = []
+            for j in range(group):
+                qf = q_ref[0, j, lo : lo + s_pad, :]  # [s_pad, d] (pre-scaled)
+                kf = k_ref[0, j, lo : lo + s_pad, :]
+                s = jax.lax.dot_general(
+                    qf, kf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [s_pad, s_pad]
+                s = s + bias_ref[0, 0, lo : lo + s_pad][None, :]
+                size_b = bias_ref[0, 1, lo : lo + s_pad][None, :]
+                if masked_rows:
+                    row = (
+                        jax.lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0) > 0
+                    ).astype(jnp.float32)
+                    s = s + row * size_b
+                else:
+                    s = s + size_b
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(v_ref.dtype),
+                    v_ref[0, j, lo : lo + s_pad, :],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                cols.append(o / denom)
+            o_ref[0, lo : lo + s_pad, :] = jnp.concatenate(cols, axis=-1).astype(
+                o_ref.dtype
+            )
+
+    return _blockdiag_kernel
+
+
+def _blockdiag_group(h: int, d: int) -> int:
+    """Heads per program. Same Mosaic validity rule as the trajectory
+    kernel (out-block width g*d a multiple of 128, or g == h);
+    VTM_BLOCKDIAG_GROUP overrides for on-chip A/B."""
+    env = os.environ.get("VTM_BLOCKDIAG_GROUP")
+    if env is not None:
+        g = int(env)
+        if not (0 < g <= h and h % g == 0):
+            raise ValueError(f"VTM_BLOCKDIAG_GROUP={g} does not divide h={h}")
+        if (g * d) % _LANE != 0 and g != h:
+            raise ValueError(
+                f"VTM_BLOCKDIAG_GROUP={g}: out-block width g*d={g * d} is "
+                f"neither a multiple of {_LANE} nor the full row h*d"
+            )
+        return g
+    if (2 * d) % _LANE == 0:
+        return 2
+    return next(
+        (c for c in range(2, h) if h % c == 0 and (c * d) % _LANE == 0), h
+    )
+
+
+def _blockdiag_fcs(f: int) -> int:
+    env = os.environ.get("VTM_BLOCKDIAG_FCS")
+    if env is not None and int(env) > 0:
+        if f % int(env) != 0:
+            raise ValueError(f"VTM_BLOCKDIAG_FCS={env} does not divide frames={f}")
+        return int(env)
+    return 2 if f % 2 == 0 else 1
+
+
+def _blockdiag_bias(key_bias, b: int, frames: int, s_len: int, s_pad: int):
+    """[B, 2, f*s_pad] fp32: row 0 = pad mask (0 at real keys, -1e30 at
+    per-frame pad columns, applied to every query row), row 1 = size
+    bias (log token sizes, 0 at pads — row-masked in the kernel when
+    the CLS row is excluded)."""
+    pad_row = jnp.full((b, frames, s_pad), -1e30, jnp.float32)
+    pad_row = pad_row.at[:, :, :s_len].set(0.0)
+    size_row = jnp.zeros((b, frames, s_pad), jnp.float32)
+    if key_bias is not None:
+        size_row = size_row.at[:, :, :s_len].set(
+            key_bias.astype(jnp.float32).reshape(b, frames, s_len)
+        )
+    return jnp.stack(
+        [pad_row.reshape(b, -1), size_row.reshape(b, -1)], axis=1
+    )
+
+
+def _blockdiag_forward(q, k, v, key_bias, sm_scale, frames, exclude_first_row):
+    b, h, n, d = q.shape
+    f = frames
+    s_len = n // f
+    s_pad = -(-s_len // _LANE) * _LANE
+    n_pad = s_pad * f
+    g = _blockdiag_group(h, d)
+    fcs = _blockdiag_fcs(f)
+    c_pad = s_pad * fcs
+    dtype = q.dtype
+
+    qs, _ = _pad_frames_kv(q * sm_scale, q, f, s_pad)
+    ks, vs = _pad_frames_kv(k, v, f, s_pad)
+    bias = _blockdiag_bias(key_bias, b, f, s_len, s_pad)
+
+    grid = (b, h // g, f // fcs)
+    out = pl.pallas_call(
+        _make_blockdiag_kernel(
+            fcs, s_pad, g, exclude_first_row and key_bias is not None
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g, c_pad, d), lambda bi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, c_pad, d), lambda bi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, c_pad, d), lambda bi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c_pad), lambda bi, hp, fc: (bi, 0, fc), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c_pad, g * d), lambda bi, hp, fc: (bi, fc, hp), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, h * d), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * n_pad * s_pad * d,
+            bytes_accessed=(3 * b * h * n_pad * d + b * n_pad * h * d) * 2,
+            transcendentals=b * h * n_pad * s_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias)
+    return out.reshape(b, f, s_pad, h * d)[:, :, :s_len].reshape(b, n, h * d)
+
+
+def _make_blockdiag_bwd_kernel(
+    fcs: int, s_pad: int, group: int, masked_rows: bool, scale: float
+):
+    def _blockdiag_bwd_kernel(
+        q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, db_ref
+    ):
+        """Fused block-diagonal backward. Every (head, frame) pair
+        belongs to exactly ONE program (queries of a frame attend only
+        within it), so dq/dk/dv are pure local writes — no cross-
+        program accumulation, unlike the dense/trajectory backwards.
+        Softmax recompute per (head, frame) in a [s_pad, s_pad] tile;
+        the size-bias cotangent sums ds over the non-CLS rows only when
+        the forward row-masked it."""
+        row = (
+            jax.lax.broadcasted_iota(jnp.int32, (s_pad, 1), 0) > 0
+        ).astype(jnp.float32)
+        for fi in range(fcs):
+            lo = fi * s_pad
+            db_acc = None
+            for j in range(group):
+                qf = q_ref[0, j, lo : lo + s_pad, :]  # [s_pad, d] (unscaled)
+                kf = k_ref[0, j, lo : lo + s_pad, :]
+                vf = v_ref[0, j, lo : lo + s_pad, :]
+                s = (
+                    jax.lax.dot_general(
+                        qf, kf, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias_ref[0, 0, lo : lo + s_pad][None, :]
+                )
+                size_b = bias_ref[0, 1, lo : lo + s_pad][None, :]
+                s = s + (row * size_b if masked_rows else size_b)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)  # fp32
+                dof = do_ref[0, j, lo : lo + s_pad, :]
+                dp = jax.lax.dot_general(
+                    dof, vf, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+                ds = p * (dp - delta)  # fp32
+                p_lo = p.astype(dof.dtype)
+                ds_lo = ds.astype(dof.dtype)
+                dq_ref[0, j, lo : lo + s_pad, :] = jax.lax.dot_general(
+                    ds_lo, kf, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                dk_ref[0, j, lo : lo + s_pad, :] = jax.lax.dot_general(
+                    ds_lo, qf, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale
+                dv_ref[0, j, lo : lo + s_pad, :] = jax.lax.dot_general(
+                    p_lo, dof, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                db_j = jnp.sum(
+                    ds * row if masked_rows else ds, axis=0, keepdims=True
+                )
+                db_acc = db_j if db_acc is None else db_acc + db_j
+            db_ref[0, :, lo : lo + s_pad] = db_acc
+
+    return _blockdiag_bwd_kernel
+
+
+def _blockdiag_backward(q, k, v, key_bias, g, sm_scale, frames, exclude_first_row):
+    b, h, n, d = q.shape
+    f = frames
+    s_len = n // f
+    s_pad = -(-s_len // _LANE) * _LANE
+    n_pad = s_pad * f
+    grp = _blockdiag_group(h, d)
+    fcs = _blockdiag_fcs(f)
+    c_pad = s_pad * fcs
+    dtype = q.dtype
+
+    qs, _ = _pad_frames_kv(q, q, f, s_pad)
+    ks, vs = _pad_frames_kv(k, v, f, s_pad)
+    bias = _blockdiag_bias(key_bias, b, f, s_len, s_pad)
+    # head-major cotangent (one transpose outside — 64-lane intra-
+    # register head slices of the token-major layout aren't Mosaic-safe)
+    gs = g.reshape(b, f, s_len, h, d)
+    if s_pad != s_len:
+        gs = jnp.pad(gs, [(0, 0), (0, 0), (0, s_pad - s_len), (0, 0), (0, 0)])
+    gs = jnp.transpose(gs.reshape(b, n_pad, h, d), (0, 2, 1, 3))
+
+    masked = exclude_first_row and key_bias is not None
+    grid = (b, h // grp, f // fcs)
+    blk = lambda bi, hp, fc: (bi, hp, fc, 0)  # noqa: E731
+    dq, dk, dv, db = pl.pallas_call(
+        _make_blockdiag_bwd_kernel(fcs, s_pad, grp, masked, sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, grp, c_pad, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, c_pad, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, c_pad, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, c_pad), lambda bi, hp, fc: (bi, 0, fc), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, c_pad, d), blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, grp, c_pad, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, c_pad, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, grp, c_pad, d), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c_pad), lambda bi, hp, fc: (bi, hp, fc), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h // grp, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * n_pad * s_pad * d,
+            bytes_accessed=(7 * b * h * n_pad * d) * 2,
+            transcendentals=b * h * n_pad * s_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias, gs)
+
+    def _unpad(z):
+        return z.reshape(b, h, f, s_pad, d)[:, :, :, :s_len].reshape(b, h, n, d)
+
+    dq, dk, dv = _unpad(dq).astype(dtype), _unpad(dk).astype(dtype), _unpad(dv).astype(dtype)
+    if key_bias is None:
+        dbias = None
+    else:
+        dbias = (
+            db.sum(axis=1)
+            .reshape(b, f, s_pad)[:, :, :s_len]
+            .reshape(b, n)
+            .astype(key_bias.dtype)
+        )
+    return dq, dk, dv, dbias
+
+
+def _blockdiag_reference(q, k, v, key_bias, sm_scale, frames, exclude_first_row=False):
+    b, h, n, d = q.shape
+    f = frames
+    s = n // f
+    qf = (q * sm_scale).reshape(b, h, f, s, d)
+    kf = k.reshape(b, h, f, s, d)
+    vf = v.reshape(b, h, f, s, d)
+    logits = jnp.einsum(
+        "bhfqd,bhfkd->bhfqk", qf, kf, preferred_element_type=jnp.float32
+    )
+    if key_bias is not None:
+        kb = key_bias.astype(jnp.float32).reshape(b, f, s)[:, None, :, None, :]
+        if exclude_first_row:
+            rmask = (jnp.arange(s) > 0).astype(jnp.float32)[
+                None, None, None, :, None
+            ]
+            kb = rmask * kb
+        logits = logits + kb
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhfqk,bhfkd->bhfqd", probs, vf)
+    return jnp.transpose(out, (0, 2, 3, 1, 4)).reshape(b, n, h * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def tome_blockdiag_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    key_bias: Optional[jax.Array] = None,
+    sm_scale: float = 1.0,
+    frames: int = 8,
+    exclude_first_row: bool = False,
+):
+    """Block-diagonal per-frame attention, fused: frame fi's queries
+    attend ONLY to frame fi's keys (TimeSformer divided spatial
+    attention folded as [B, f*s] frame-major — reference
+    tome/patch/timesformer.py:60-83 runs it as a (b t) batch).
+
+    q/k/v: [B, H, N, d] with N = frames * s frame-major; key_bias:
+    [B, N] log token sizes (entry 0 of each frame = CLS = 0) or None.
+    ``exclude_first_row``: apply the bias to query rows > 0 of each
+    frame only (the reference's logits[:, :, 1:, 1:] += log size).
+    Returns token-major [B, N, H*d] (merged heads — no epilogue
+    transpose)."""
+    return _blockdiag_forward(q, k, v, key_bias, sm_scale, frames, exclude_first_row)
+
+
+def _blockdiag_fwd(q, k, v, key_bias, sm_scale, frames, exclude_first_row):
+    return (
+        _blockdiag_forward(q, k, v, key_bias, sm_scale, frames, exclude_first_row),
+        (q, k, v, key_bias),
+    )
+
+
+def _blockdiag_bwd(sm_scale, frames, exclude_first_row, res, g):
+    q, k, v, key_bias = res
+    return _blockdiag_backward(
+        q, k, v, key_bias, g, sm_scale, frames, exclude_first_row
+    )
+
+
+tome_blockdiag_attention.defvjp(_blockdiag_fwd, _blockdiag_bwd)

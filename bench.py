@@ -25,7 +25,9 @@ the host round-trip is measured separately and subtracted.
 
 Env knobs: VTM_BENCH_ITERS (default 20), VTM_BENCH_BATCH (default 8),
 VTM_BENCH_R (default 150), VTM_BENCH_DTYPE (default bfloat16),
-VTM_BENCH_SKIP_MAX=1 to skip the max-merging row.
+VTM_BENCH_SKIP_MAX=1 to skip the max-merging row,
+VTM_BENCH_BATCH_SWEEP (default "16,32"; "" to skip) for the
+serving-batch sidecar rows.
 """
 
 from __future__ import annotations
@@ -298,6 +300,29 @@ def main():
         )
     except Exception as e:  # cost analysis is best-effort on some backends
         detail["flops_error"] = f"{type(e).__name__}: {e}"
+
+    sweep = os.environ.get("VTM_BENCH_BATCH_SWEEP", "16,32")
+    if sweep:
+        # serving-scale throughput: the merged program at larger batches
+        # (MFU rises as the fixed per-step costs amortise); batch 8 is
+        # the reference's model_benchmark protocol, these rows document
+        # the production serving regime.
+        detail["batch_sweep"] = {}
+        for b in [int(s) for s in sweep.split(",") if s]:
+            try:
+                xb = jnp.asarray(
+                    rng.standard_normal((b, 16, 224, 224, 3)),
+                    dtype=jnp.float32,
+                )
+                cps = measure(merged, params, xb, iters, rtt)
+                detail["batch_sweep"][str(b)] = {
+                    "merged_clips_per_sec": round(cps, 2),
+                    "vs_batch8_headline": round(cps / merged_cps, 4),
+                }
+            except Exception as e:
+                detail["batch_sweep"][str(b)] = {
+                    "error": f"{type(e).__name__}: {e}"
+                }
 
     if os.environ.get("VTM_BENCH_SKIP_MAX") != "1":
         # the reference's own max-merging row: TOME.R_VALUE 784

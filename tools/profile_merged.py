@@ -23,6 +23,7 @@ Run: python tools/profile_merged.py   (real TPU; ~5 min warm cache)
 from __future__ import annotations
 
 import json
+import os
 import pathlib
 import sys
 
@@ -64,9 +65,9 @@ def main():
     from bench import _probe_device
 
     _probe_device()
-    batch = 8
+    batch = int(os.environ.get("VTM_PROFILE_BATCH", "8"))
     r = 150
-    iters = 20
+    iters = int(os.environ.get("VTM_PROFILE_ITERS", "20"))
     dtype = jnp.bfloat16
     config = VideoMAEConfig(num_classes=400)
     policy = MergePolicy(rs=(r,) * 12, mode="merge", prop_attn=False)
@@ -165,7 +166,11 @@ def main():
         ),
         layers=layers,
     )
-    (REPO / "PROFILE_MERGED.json").write_text(json.dumps(out, indent=1) + "\n")
+    name = (
+        "PROFILE_MERGED.json" if batch == 8
+        else f"PROFILE_MERGED_B{batch}.json"
+    )
+    (REPO / name).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps({k: v for k, v in out.items() if k != "layers"}))
 
 

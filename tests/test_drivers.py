@@ -88,6 +88,20 @@ def test_model_benchmark_end_to_end(tmp_path):
     assert stats["clips_per_sec"] > 0
 
 
+def test_model_benchmark_profiler_trace(tmp_path):
+    """MODEL_BENCHMARK.TRACE_DIR captures a jax.profiler trace of one
+    forward (the TPU analog of the reference's CUDA-event timing)."""
+    from tools.model_benchmark import model_benchmark
+
+    cfg = _tiny_vivit_cfg(tmp_path)
+    cfg.MODEL_BENCHMARK.ITERATIONS = 1
+    trace_dir = tmp_path / "trace"
+    cfg.MODEL_BENCHMARK.TRACE_DIR = str(trace_dir)
+    stats = model_benchmark(cfg)
+    assert stats.get("trace_dir") == str(trace_dir)
+    assert any(f.is_file() for f in trace_dir.rglob("*"))
+
+
 def test_data_benchmark_end_to_end(tmp_path):
     from tools.benchmark import benchmark_data_loading
 

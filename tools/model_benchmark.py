@@ -52,6 +52,23 @@ def perform_benchmark(module, params, cfg, mesh, batch_stats=None) -> dict:
 
     elapsed = chained_seconds(fwd, dummy, iters, params=params)
 
+    trace_dir = cfg.MODEL_BENCHMARK.TRACE_DIR
+    if trace_dir:
+        # One traced forward for op-level analysis in the TensorBoard/
+        # XProf trace viewer. The scalar fetch keeps the device work
+        # inside the trace window on remote backends where
+        # block_until_ready is a no-op; tracing is best-effort (some
+        # tunneled PJRT plugins only emit the host-side timeline).
+        try:
+            with jax.profiler.trace(trace_dir):
+                out = jax.jit(fwd)(params, dummy)
+                float(jnp.sum(out))
+        except Exception as e:
+            trace_dir = ""
+            logger.warning("jax.profiler trace failed: %s", e)
+        else:
+            logger.info("profiler trace written to %s", trace_dir)
+
     frame_time_ms = elapsed / (batch * t * iters) * 1000.0
     stats = {
         "split": "model_benchmark",
@@ -61,6 +78,8 @@ def perform_benchmark(module, params, cfg, mesh, batch_stats=None) -> dict:
         "batch_size": batch,
         "iterations": iters,
     }
+    if trace_dir:
+        stats["trace_dir"] = trace_dir
     log_json_stats(stats, logger)
     wandb_utils.log(stats)
     return stats

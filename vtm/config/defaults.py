@@ -405,6 +405,10 @@ def get_cfg() -> CfgNode:
     _C.MODEL_BENCHMARK = CfgNode()
     _C.MODEL_BENCHMARK.WARMUP_ITERATIONS = 0
     _C.MODEL_BENCHMARK.ITERATIONS = 0
+    # When set, one forward pass is captured with jax.profiler.trace
+    # into this directory (TensorBoard/XProf trace viewer) — the TPU
+    # analog of the reference's CUDA-event timing (SURVEY.md §5).
+    _C.MODEL_BENCHMARK.TRACE_DIR = ""
 
     # -------------------------------------------------------------- BENCHMARK
     _C.BENCHMARK = CfgNode()

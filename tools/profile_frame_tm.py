@@ -84,7 +84,8 @@ def main():
             )
             rows[key] = {"ms": round(secs / iters * 1e3, 4), "maxerr": err}
         except Exception as e:
-            rows[key] = {"error": f"{type(e).__name__}: {e}"}
+            # axon compile errors carry multi-KB HTTP dumps; keep the head
+            rows[key] = {"error": f"{type(e).__name__}: {e}"[:300]}
         print(key, rows[key], flush=True)
     os.environ.pop("VTM_FRAME_TM_GROUP", None)
     os.environ.pop("VTM_FRAME_TM_FCS", None)

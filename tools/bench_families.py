@@ -126,6 +126,14 @@ def main():
            "peak_bf16_tflops_probe": round(probe, 1),
            "peak_bf16_tflops_mfu_denominator": round(peak, 1),
            "families": {}}
+    # a subset run (VTM_FAMILIES=motionformer) must not clobber the
+    # other families' rows — carry them over from the existing artifact
+    prior = REPO / "BENCH_FAMILIES.json"
+    if prior.exists():
+        try:
+            out["families"].update(json.loads(prior.read_text())["families"])
+        except Exception:
+            pass
     rng = np.random.default_rng(0)
     for family in families:
         # one family's failure (e.g. a compile error) must not destroy

@@ -555,7 +555,13 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     b, h, n, d = q.shape
     f = frames
     g = _frame_tm_group(h, d)
-    fcs = 2 if f % 2 == 0 else 1  # frames per grid step
+    # frames per grid step: 4 is the measured production choice at the
+    # Motionformer shape (PROFILE_FRAME_TM.json: 1.71 vs 1.91 ms for 2;
+    # whole-model A/B PROFILE_FRAME_FCS_AB.json: merged 36.1 vs 37.1 ms)
+    # — bigger K/V blocks amortise the per-grid-step overhead while
+    # _frame_blk_q keeps the fp32 logits tiles inside the VMEM budget.
+    # fcs=8 (whole-row) blows that budget and fails to compile.
+    fcs = 4 if f % 4 == 0 else (2 if f % 2 == 0 else 1)
     fcs_env = os.environ.get("VTM_FRAME_TM_FCS")
     if fcs_env is not None and int(fcs_env) > 0:
         if f % int(fcs_env) != 0:

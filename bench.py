@@ -301,13 +301,23 @@ def main():
     except Exception as e:  # cost analysis is best-effort on some backends
         detail["flops_error"] = f"{type(e).__name__}: {e}"
 
+    # write incrementally after each section: the watchdog os._exit(0)s
+    # on a lease hang, and a detail file holding everything computed so
+    # far beats losing the FLOP/MFU rows to a hang in a later sweep
+    def _write_detail():
+        (REPO / "BENCH_DETAIL.json").write_text(
+            json.dumps(detail, indent=1) + "\n"
+        )
+
+    _write_detail()
+
     sweep = os.environ.get("VTM_BENCH_BATCH_SWEEP", "16,32")
     if sweep:
         # serving-scale throughput: the merged program at larger batches
         # (MFU rises as the fixed per-step costs amortise); batch 8 is
         # the reference's model_benchmark protocol, these rows document
         # the production serving regime.
-        detail["batch_sweep"] = {}
+        detail["batch_sweep"] = {"headline_batch": batch}
         for b in [int(s) for s in sweep.split(",") if s]:
             try:
                 xb = jnp.asarray(
@@ -317,12 +327,15 @@ def main():
                 cps = measure(merged, params, xb, iters, rtt)
                 detail["batch_sweep"][str(b)] = {
                     "merged_clips_per_sec": round(cps, 2),
-                    "vs_batch8_headline": round(cps / merged_cps, 4),
+                    # per-clip throughput vs the headline batch's (the
+                    # key names the actual denominator batch)
+                    f"vs_batch{batch}_headline": round(cps / merged_cps, 4),
                 }
             except Exception as e:
                 detail["batch_sweep"][str(b)] = {
                     "error": f"{type(e).__name__}: {e}"
                 }
+            _write_detail()
 
     if os.environ.get("VTM_BENCH_SKIP_MAX") != "1":
         # the reference's own max-merging row: TOME.R_VALUE 784
@@ -341,7 +354,7 @@ def main():
         except Exception as e:
             detail["max_merging"] = {"error": f"{type(e).__name__}: {e}"}
 
-    (REPO / "BENCH_DETAIL.json").write_text(json.dumps(detail, indent=1) + "\n")
+    _write_detail()
 
 
 if __name__ == "__main__":

@@ -299,6 +299,23 @@ def test_blockdiag_kernel_matches_reference(f, s, h, with_bias, excl):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_blockdiag_odd_heads_lane_aligned_d():
+    """Regression: h=3 with d=64 ((2*d) % 128 == 0 but h % 2 != 0) must
+    not take the head-pair fast path — grid h//2 == 1 would silently
+    skip the last head and leave its output columns unwritten."""
+    from vtm.ops.flash_attention import _blockdiag_reference, tome_blockdiag_attention
+
+    b, f, h, s, d = 1, 2, 3, 33, 64
+    n = f * s
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    ref = np.asarray(_blockdiag_reference(q, k, v, None, 0.125, f))
+    got = np.asarray(tome_blockdiag_attention(q, k, v, None, 0.125, f))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_blockdiag_matches_folded_attention_core():
     """The kernel on the unfolded [B, f*s] frame-major layout must equal
     attention_core on the folded (b t) batch — the two formulations the

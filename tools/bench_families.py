@@ -127,11 +127,14 @@ def main():
            "peak_bf16_tflops_mfu_denominator": round(peak, 1),
            "families": {}}
     # a subset run (VTM_FAMILIES=motionformer) must not clobber the
-    # other families' rows — carry them over from the existing artifact
+    # other families' rows — carry them over from the existing artifact,
+    # marked as carried (cross-run drift on this chip is +/-10-20%, so a
+    # mixed artifact must be auditable as mixed)
     prior = REPO / "BENCH_FAMILIES.json"
     if prior.exists():
         try:
-            out["families"].update(json.loads(prior.read_text())["families"])
+            for name, row in json.loads(prior.read_text())["families"].items():
+                out["families"][name] = dict(row, carried_from_prior_run=True)
         except Exception:
             pass
     rng = np.random.default_rng(0)

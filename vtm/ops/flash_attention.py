@@ -912,7 +912,10 @@ def _blockdiag_group(h: int, d: int) -> int:
                 f"neither a multiple of {_LANE} nor the full row h*d"
             )
         return g
-    if (2 * d) % _LANE == 0:
+    # unlike the trajectory kernel (whose dispatch gates on h % 2 == 0),
+    # this kernel is called for any h — the fast path must check
+    # divisibility itself or odd-h grids silently skip the last head
+    if h % 2 == 0 and (2 * d) % _LANE == 0:
         return 2
     return next(
         (c for c in range(2, h) if h % c == 0 and (c * d) % _LANE == 0), h

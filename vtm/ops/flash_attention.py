@@ -15,6 +15,16 @@ log(size) is a [N] vector added to the tile — the reference semantics
 of `attn += size.log()[..., None, :]` (tome/patch/vivit.py:103-104)
 with zero HBM bias traffic.
 
+Padding (round 4): the token dim sits on SUBLANES (d=64 is the lane
+dim), so N pads to a multiple of 8, not 128, and blocks are exact
+divisors of ceil8(N) — N=1568 runs as 2x784 chunks with ZERO padding.
+The old 128-lane padding (1568 -> 1664) cost three whole-tensor pad
+passes + 13% extra matmul FLOPs, and the outer q*sm_scale pass another
+~0.13 ms — together ~35% of the kernel's standalone wall time
+(PROFILE_BLOCK_ATTN.json: 1.48 -> 0.82 ms at B8 H12 N1568). q is now
+scaled in-kernel and pad keys are masked by a static iota on the last
+chunk (unbiased) / -1e30 bias entries (biased).
+
 Both passes are fused: the backward kernel recomputes the softmax rows
 with the same whole-K/V-row scheme and accumulates dk/dv/dbias across
 sequential q-block grid steps (their block index is constant along that
@@ -111,7 +121,137 @@ def _pick_blk_q(n_pad: int, requested: Optional[int]) -> int:
     return blk
 
 
+def _divisor_near(n8: int, lo: int, hi: int, target: int) -> Optional[int]:
+    """Largest-|target-c|-minimizing multiple of 8 in [lo, hi] that
+    divides n8 exactly; None if there is none."""
+    best = None
+    for c in range(lo + (-lo) % 8, hi + 1, 8):
+        if n8 % c == 0 and (best is None or abs(c - target) < abs(best - target)):
+            best = c
+    return best
+
+
+def _make_n8_kernel(n: int, n8: int, blk: int, d: int, scale: float, biased: bool):
+    """One (bh, q-block) program of the sublane-aligned forward.
+
+    The n dim of q/k/v blocks only needs /8 (sublane) alignment — d=64
+    is the lane dim — so n pads to a multiple of 8 instead of 128
+    (round-3's 128-lane padding inflated N=1568 to 1664: +13% matmul
+    FLOPs plus three whole-tensor pad passes and an unpad slice, ~35%
+    of the kernel's wall time; PROFILE_BLOCK_ATTN.json). q is scaled
+    IN-kernel (the outer q*sm_scale elementwise pass cost ~0.13 ms at
+    layer-0 shape). Pad keys are masked with a static iota on the last
+    chunk (unbiased) or -1e30 entries in the chunk-blocked bias row
+    (biased) — no [N]-lane bias array is ever sliced at non-128
+    offsets."""
+    n_chunks = n8 // blk
+
+    def kernel(*refs):
+        if biased:
+            q_ref, k_ref, v_ref, bias_ref, o_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref = refs
+        q = q_ref[0] * scale  # [blk_q, d] — scaled on the VPU in-program
+        m = jnp.full((q.shape[0], 1), -1e30, jnp.float32)
+        l = jnp.zeros((q.shape[0], 1), jnp.float32)
+        acc = jnp.zeros((q.shape[0], d), jnp.float32)
+        for j in range(n_chunks):
+            kj = k_ref[0, j * blk : (j + 1) * blk, :]
+            vj = v_ref[0, j * blk : (j + 1) * blk, :]
+            s = jax.lax.dot_general(
+                q, kj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [blk_q, blk] fp32 — only ever a VMEM tile
+            if biased:
+                s = s + bias_ref[0, j : j + 1, :]
+            elif n8 != n and j == n_chunks - 1:
+                s = s + jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+                    >= n - j * blk,
+                    -1e30,
+                    0.0,
+                )
+            mj = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - mj)
+            corr = jnp.exp(m - mj)
+            l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * corr + jax.lax.dot_general(
+                p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m = mj
+        o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+    return kernel
+
+
 def _forward(q, k, v, key_bias, sm_scale, blk_q):
+    """Sublane-aligned (n8) forward; falls back to the 128-lane-padded
+    path when no exact-divisor chunk exists for a long row."""
+    b, h, n, d = q.shape
+    n8 = -(-n // 8) * 8
+    hi = min(1056, blk_q) if blk_q else 1056
+    if n8 >= 1152:
+        blk = _divisor_near(n8, 384, hi, 784)
+        if blk is None:
+            return _forward_lanepad(q, k, v, key_bias, sm_scale, blk_q)
+    elif blk_q and blk_q < n8:
+        blk = _divisor_near(n8, 8, blk_q, blk_q)
+        if blk is None:
+            return _forward_lanepad(q, k, v, key_bias, sm_scale, blk_q)
+    else:
+        blk = n8
+    dtype = q.dtype
+
+    qs = q.reshape(b * h, n, d)
+    ks = k.reshape(b * h, n, d)
+    vs = v.reshape(b * h, n, d)
+    if n8 != n:
+        pad = [(0, 0), (0, n8 - n), (0, 0)]
+        qs, ks, vs = (jnp.pad(z, pad) for z in (qs, ks, vs))
+
+    biased = key_bias is not None
+    operands = [qs, ks, vs]
+    in_specs = [
+        pl.BlockSpec((1, blk, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n8, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n8, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    if biased:
+        # chunk-blocked bias [B, n_chunks, blk]: the kernel reads chunk
+        # j as a [1, blk] row — never a lane slice at a non-128 offset
+        bias = jnp.full((b, n8), -1e30, jnp.float32)
+        bias = bias.at[:, :n].set(key_bias.astype(jnp.float32))
+        operands.append(bias.reshape(b, n8 // blk, blk))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, n8 // blk, blk),
+                lambda bh, qi: (bh // h, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    out = pl.pallas_call(
+        _make_n8_kernel(n, n8, blk, d, sm_scale, biased),
+        grid=(b * h, n8 // blk),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, blk, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, n8, d), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * n8 * n8 * d,
+            bytes_accessed=(3 * b * h * n8 * d + b * h * n8 * d) * 2,
+            transcendentals=b * h * n8 * n8,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(*operands)
+    if n8 != n:
+        out = out[:, :n, :]
+    return out.reshape(b, h, n, d)
+
+
+def _forward_lanepad(q, k, v, key_bias, sm_scale, blk_q):
     b, h, n, d = q.shape
     # pad N to the lane width; blk_q defaults to the whole row when the
     # fp32 logits tile fits VMEM, else the largest fitting divisor

@@ -110,6 +110,10 @@ def get_cfg() -> CfgNode:
     _C.SOLVER.BASE_LR_SCALE_NUM_SHARDS = False
     _C.SOLVER.CLIP_GRAD_VAL = None
     _C.SOLVER.CLIP_GRAD_L2NORM = None
+    # no weight decay on 1-D params / biases (reference defaults.py:865)
+    _C.SOLVER.ZERO_WD_1D_PARAM = False
+    # LARS wrap (SSL pretraining recipes; reference defaults.py:874)
+    _C.SOLVER.LARS_ON = False
     _C.SOLVER.LAYER_DECAY = 1.0
     _C.SOLVER.BETAS = (0.9, 0.999)
     _C.SOLVER.ACCUMULATE_STEPS = 1

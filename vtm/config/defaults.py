@@ -77,6 +77,15 @@ def get_cfg() -> CfgNode:
     _C.DATA.REVERSE_INPUT_CHANNEL = False
     _C.DATA.USE_OFFSET_SAMPLING = False
     _C.DATA.DUMMY_LOAD = False
+    # SSL augmentation family (reference defaults.py:758-791)
+    _C.DATA.COLOR_RND_GRAYSCALE = 0.0
+    _C.DATA.TIME_DIFF_PROB = 0.0
+    _C.DATA.SSL_COLOR_JITTER = False
+    _C.DATA.SSL_COLOR_BRI_CON_SAT = [0.4, 0.4, 0.4]
+    _C.DATA.SSL_COLOR_HUE = 0.1
+    _C.DATA.SSL_MOCOV2_AUG = False
+    _C.DATA.SSL_BLUR_SIGMA_MIN = [0.0, 0.1]
+    _C.DATA.SSL_BLUR_SIGMA_MAX = [0.0, 2.0]
     _C.DATA.TRAIN_JITTER_FPS = 0.0
     # ImageNet path (reference defaults.py:675-687, 800)
     _C.DATA.TRAIN_PCA_EIGVAL = [0.225, 0.224, 0.229]

@@ -14,6 +14,8 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from vtm.data import transform
+
 
 def temporal_sampling(
     frames: np.ndarray, start_idx: float, end_idx: float, num_samples: int
@@ -181,15 +183,27 @@ def decode(
     num_clips: int = 10,
     target_fps: int = 30,
     use_offset: bool = False,
+    time_diff_prob: float = 0.0,
+    gaussian_prob: float = 0.0,
 ) -> Optional[np.ndarray]:
     """Decode a clip: fps-retargeted clip window, selective decode of
     only the window's frames, equal-interval sampling (reference
     decoder.py:492-666 semantics).
 
-    Returns [num_frames, H, W, 3] uint8 or None on decode failure
-    (callers implement the retry-with-replacement loop the reference
-    uses, kinetics.py:282-309).
+    Returns [num_frames, H, W, 3] uint8 — float32 when the raw-frame
+    SSL augs fire (``time_diff_prob``/``gaussian_prob``, reference
+    decoder.py:619-661; tensor_normalize restores /255 downstream) —
+    or None on decode failure (callers implement the
+    retry-with-replacement loop the reference uses, kinetics.py:282-309).
     """
+
+    def _aug(clip):
+        if clip is None or (time_diff_prob <= 0.0 and gaussian_prob <= 0.0):
+            return clip
+        clip, _ = transform.augment_raw_frames(
+            clip, time_diff_prob, gaussian_prob
+        )
+        return clip
     fps, total = _video_meta(path)
     if total > 0:
         clip_size = sampling_rate * num_frames / target_fps * fps
@@ -203,7 +217,7 @@ def decode(
             index = np.linspace(start_idx, end_idx, num_frames)
             index = np.clip(index, 0, total - 1).astype(np.int64) - first
             index = np.clip(index, 0, window.shape[0] - 1)
-            return window[index]
+            return _aug(window[index])
         # fall through to the full-read path on metadata mismatch
 
     frames, fps = read_video_cv2(path)
@@ -213,7 +227,7 @@ def decode(
     start_idx, end_idx, _ = get_start_end_idx(
         frames.shape[0], clip_size, clip_idx, num_clips, use_offset=use_offset
     )
-    return temporal_sampling(frames, start_idx, end_idx, num_frames)
+    return _aug(temporal_sampling(frames, start_idx, end_idx, num_frames))
 
 
 def decode_clips(
@@ -224,6 +238,8 @@ def decode_clips(
     target_fps: int = 30,
     min_delta: float = -math.inf,
     max_delta: float = math.inf,
+    time_diff_prob: float = 0.0,
+    gaussian_prob: float = 0.0,
 ) -> Optional[list]:
     """Decode ``num_decode`` random training clips of one video with the
     reference's pairwise-gap-constrained sampling
@@ -240,7 +256,11 @@ def decode_clips(
         frames.shape[0], [clip_size] * num_decode, -1, 1,
         min_delta=min_delta, max_delta=max_delta,
     )
-    return [
-        temporal_sampling(frames, s, e, num_frames)
-        for s, e, _ in windows
-    ]
+    clips = [temporal_sampling(frames, s, e, num_frames) for s, e, _ in windows]
+    if time_diff_prob > 0.0 or gaussian_prob > 0.0:
+        # independent draws per decoded view (reference decoder.py:640-646)
+        clips = [
+            transform.augment_raw_frames(c, time_diff_prob, gaussian_prob)[0]
+            for c in clips
+        ]
+    return clips

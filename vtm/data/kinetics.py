@@ -145,6 +145,9 @@ class Kinetics:
                     target_fps=cfg.DATA.TARGET_FPS,
                     min_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MIN,
                     max_delta=cfg.CONTRASTIVE.DELTA_CLIPS_MAX,
+                    time_diff_prob=cfg.DATA.TIME_DIFF_PROB
+                    if self.mode == "train"
+                    else 0.0,
                 )
                 frames = raw_clips[0] if raw_clips is not None else None
             else:
@@ -156,6 +159,9 @@ class Kinetics:
                     num_clips=cfg.TEST.NUM_ENSEMBLE_VIEWS if self.mode == "test" else 1,
                     target_fps=cfg.DATA.TARGET_FPS,
                     use_offset=cfg.DATA.USE_OFFSET_SAMPLING,
+                    time_diff_prob=cfg.DATA.TIME_DIFF_PROB
+                    if self.mode == "train"
+                    else 0.0,
                 )
             if frames is not None:
                 break
@@ -173,6 +179,18 @@ class Kinetics:
             )
 
         def finish(clip):
+            # SSL color pipeline precedes RandAug (reference
+            # kinetics.py:413-427: /255 -> ssl jitter -> AA -> normalize)
+            if self.mode == "train" and cfg.DATA.SSL_COLOR_JITTER:
+                clip = transform.color_jitter_video_ssl(
+                    clip,
+                    bri_con_sat=cfg.DATA.SSL_COLOR_BRI_CON_SAT,
+                    hue=cfg.DATA.SSL_COLOR_HUE,
+                    p_convert_gray=cfg.DATA.COLOR_RND_GRAYSCALE,
+                    moco_v2_aug=cfg.DATA.SSL_MOCOV2_AUG,
+                    gaussan_sigma_min=cfg.DATA.SSL_BLUR_SIGMA_MIN,
+                    gaussan_sigma_max=cfg.DATA.SSL_BLUR_SIGMA_MAX,
+                )
             clip = transform.train_augment(cfg, clip, self.mode)
             clip = transform.tensor_normalize(clip, cfg.DATA.MEAN, cfg.DATA.STD)
             clip = transform.spatial_sampling(

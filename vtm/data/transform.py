@@ -319,6 +319,185 @@ def train_random_erase(cfg, frames: np.ndarray, mode: str) -> np.ndarray:
     return eraser(frames)
 
 
+# ----------------------------------------------------------- SSL augs
+# The self-supervised augmentation family (reference transform.py:
+# 1089-1216) — temporal difference, MoCo-v2 color pipeline, gaussian
+# blur. Python-`random` draws replace the reference's torch-RNG gates
+# (same order and distributions; documented per function).
+
+
+def temporal_difference(
+    frames: np.ndarray, use_grayscale: bool = False, absolute: bool = False
+) -> np.ndarray:
+    """Frame differences, last frame duplicated (reference
+    transform.py:1089-1113). [T, H, W, C] float; the grayscale uses the
+    reference's channel order (0.299 on channel 2 — its BGR-weighted
+    luma quirk, same as ``grayscale``)."""
+    frames = np.asarray(frames, np.float32)
+    if use_grayscale:
+        frames = grayscale(frames)
+    out = np.zeros_like(frames)
+    t = frames.shape[0]
+    dt = frames[: t - 1] - frames[1:t]
+    if absolute:
+        dt = np.abs(dt)
+    out[: t - 1] = dt
+    if t <= 1:
+        return out
+    out[-1] = dt[-1]
+    return out
+
+
+def gaussian_blur_video(
+    frames: np.ndarray,
+    sigma_min: Sequence[float] = (0.0, 0.1),
+    sigma_max: Sequence[float] = (0.0, 2.0),
+    rng=random,
+) -> np.ndarray:
+    """Reference GaussianBlurVideo (transform.py:1205-1216), including
+    its axis quirk: sigmas (0, t, y, x) are applied to the [T, H, W, C]
+    array as decoded — so "sigma_t" lands on H and "sigma_x" on the
+    CHANNEL axis. Dead code in the reference (nothing passes
+    gaussian_prob > 0); kept bit-faithful for parity. Draws:
+    rng.uniform(sigma_min[1], sigma_max[1]) then
+    rng.uniform(sigma_min[0], sigma_max[0])."""
+    from scipy.ndimage import gaussian_filter
+
+    sigma_y = sigma_x = rng.uniform(sigma_min[1], sigma_max[1])
+    sigma_t = rng.uniform(sigma_min[0], sigma_max[0])
+    return gaussian_filter(
+        np.asarray(frames, np.float32), sigma=(0.0, sigma_t, sigma_y, sigma_x)
+    )
+
+
+def augment_raw_frames(
+    frames: np.ndarray,
+    time_diff_prob: float = 0.0,
+    gaussian_prob: float = 0.0,
+    rng=random,
+):
+    """Raw-frame (pre-/255) augmentation applied inside decode
+    (reference transform.py:1166-1191, called from decoder.py:644).
+    Returns (frames float32, time_diff_applied). Draw order matches the
+    reference's python-random gate for the time difference; the blur
+    gate uses rng.random() where the reference used a torch-RNG
+    RandomApply (distributionally identical)."""
+    frames = np.asarray(frames, np.float32)
+    if gaussian_prob > 0.0 and rng.random() < gaussian_prob:
+        frames = gaussian_blur_video(frames, rng=rng)
+    time_diff_out = False
+    if time_diff_prob > 0.0 and rng.random() < time_diff_prob:
+        frames = temporal_difference(frames, use_grayscale=True, absolute=False)
+        frames = (frames + 255.0) / 2.0
+        time_diff_out = True
+    return frames, time_diff_out
+
+
+def _clip_to_pil(frames: np.ndarray):
+    """[T, H, W, C] -> one PIL RGB image of size [T*H, W] — exactly the
+    reference's view(c, t*h, w) + ToPILImage (floats are *255 then
+    TRUNCATED, torchvision ToPILImage semantics)."""
+    from PIL import Image
+
+    arr = np.asarray(frames)
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    t, h, w, c = arr.shape
+    return Image.fromarray(arr.reshape(t * h, w, c)), (t, h)
+
+
+def _pil_grayscale3(img):
+    """torchvision F.to_grayscale(num_output_channels=3)."""
+    from PIL import Image
+
+    gray = np.array(img.convert("L"))
+    return Image.fromarray(np.dstack([gray] * 3))
+
+
+def _pil_adjust_hue(img, hue_factor: float):
+    """torchvision F_pil.adjust_hue: uint8 H-channel shift with
+    wrap-around."""
+    from PIL import Image
+
+    if img.mode in ("L", "1", "I", "F"):
+        return img
+    h, s, v = img.convert("HSV").split()
+    np_h = np.array(h, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        np_h += np.array(hue_factor * 255).astype(np.uint8)
+    return Image.merge(
+        "HSV", (Image.fromarray(np_h, "L"), s, v)
+    ).convert("RGB")
+
+
+def _pil_color_jitter(img, brightness, contrast, saturation, hue, rng):
+    """torchvision ColorJitter on a PIL image; all params drawn upfront
+    (permutation, then brightness/contrast/saturation/hue factors) like
+    ColorJitter.get_params, then applied in the drawn order."""
+    from PIL import ImageEnhance
+
+    order = list(range(4))
+    rng.shuffle(order)
+    b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness) if brightness else None
+    c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast) if contrast else None
+    s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation) if saturation else None
+    hf = rng.uniform(-hue, hue) if hue else None
+    for fn_id in order:
+        if fn_id == 0 and b is not None:
+            img = ImageEnhance.Brightness(img).enhance(b)
+        elif fn_id == 1 and c is not None:
+            img = ImageEnhance.Contrast(img).enhance(c)
+        elif fn_id == 2 and s is not None:
+            img = ImageEnhance.Color(img).enhance(s)
+        elif fn_id == 3 and hf is not None:
+            img = _pil_adjust_hue(img, hf)
+    return img
+
+
+def color_jitter_video_ssl(
+    frames: np.ndarray,
+    bri_con_sat: Sequence[float] = (0.4, 0.4, 0.4),
+    hue: float = 0.1,
+    p_convert_gray: float = 0.0,
+    moco_v2_aug: bool = False,
+    gaussan_sigma_min: Sequence[float] = (0.0, 0.1),
+    gaussan_sigma_max: Sequence[float] = (0.0, 2.0),
+    rng=random,
+) -> np.ndarray:
+    """SSL color pipeline on a whole clip as one PIL image (reference
+    transform.py:1115-1163).
+
+    moco_v2_aug: RandomApply(ColorJitter, p=0.8) -> RandomGrayscale ->
+    RandomApply(SimCLR GaussianBlur sigma U[0.1, 2.0], p=0.5); else
+    RandomGrayscale -> ColorJitter. The ``gaussan_sigma_*`` args are
+    accepted and IGNORED exactly like the reference (its Compose
+    hardcodes GaussianBlur([0.1, 2.0]), transform.py:1140). Returns
+    uint8 [T, H, W, C] (the PIL ops quantize anyway; tensor_normalize
+    restores the reference's /255 floats downstream)."""
+    del gaussan_sigma_min, gaussan_sigma_max  # reference quirk: unused
+    from PIL import ImageFilter
+
+    img, (t, h) = _clip_to_pil(frames)
+    if moco_v2_aug:
+        if rng.random() < 0.8:
+            img = _pil_color_jitter(
+                img, bri_con_sat[0], bri_con_sat[1], bri_con_sat[2], hue, rng
+            )
+        if rng.random() < p_convert_gray:
+            img = _pil_grayscale3(img)
+        if rng.random() < 0.5:
+            sigma = rng.uniform(0.1, 2.0)
+            img = img.filter(ImageFilter.GaussianBlur(radius=sigma))
+    else:
+        if rng.random() < p_convert_gray:
+            img = _pil_grayscale3(img)
+        img = _pil_color_jitter(
+            img, bri_con_sat[0], bri_con_sat[1], bri_con_sat[2], hue, rng
+        )
+    out = np.asarray(img, dtype=np.uint8)  # [T*H, W, C]
+    return out.reshape(t, h, out.shape[1], out.shape[2])
+
+
 # --------------------------------------------------------------- boxes
 # Box-aware variants used by the AVA detection path (reference
 # transform.py:47-276 — boxes ride along with the geometric transforms).

@@ -10,6 +10,7 @@ accumulation via optax.MultiSteps.
 
 from __future__ import annotations
 
+import math
 import pathlib
 import sys
 
@@ -508,6 +509,21 @@ def train(cfg):
     wandb_utils.init(cfg)
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        if cur_epoch > 0 and cfg.DATA.LOADER_CHUNK_SIZE > 0:
+            # rotate the csv chunk each epoch (reference
+            # tools/train_net.py:793-804): epochs walk disjoint
+            # LOADER_CHUNK_SIZE slabs of the overall csv
+            num_chunks = math.ceil(
+                cfg.DATA.LOADER_CHUNK_OVERALL_SIZE / cfg.DATA.LOADER_CHUNK_SIZE
+            )
+            skip_rows = cur_epoch % num_chunks * cfg.DATA.LOADER_CHUNK_SIZE
+            logger.info(
+                "chunked csv: epoch %d num_chunks %d skip_rows %d",
+                cur_epoch, num_chunks, skip_rows,
+            )
+            cfg.DATA.SKIP_ROWS = skip_rows
+            train_loader = construct_loader(cfg, "train")
+            train_meter = TrainMeter(len(train_loader), cfg)
         if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
             cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
             if changed:

@@ -77,6 +77,12 @@ def get_cfg() -> CfgNode:
     _C.DATA.REVERSE_INPUT_CHANNEL = False
     _C.DATA.USE_OFFSET_SAMPLING = False
     _C.DATA.DUMMY_LOAD = False
+    # chunked csv loading (reference defaults.py:761-768): train reads
+    # LOADER_CHUNK_SIZE rows starting at SKIP_ROWS; train_net rotates
+    # SKIP_ROWS through LOADER_CHUNK_OVERALL_SIZE each epoch
+    _C.DATA.LOADER_CHUNK_SIZE = 0
+    _C.DATA.LOADER_CHUNK_OVERALL_SIZE = 0
+    _C.DATA.SKIP_ROWS = 0
     # SSL augmentation family (reference defaults.py:758-791)
     _C.DATA.COLOR_RND_GRAYSCALE = 0.0
     _C.DATA.TIME_DIFF_PROB = 0.0

@@ -37,16 +37,62 @@ class Kinetics:
         self._dummy_cache: Optional[tuple] = None
         self._construct_loader()
 
+    def _get_chunk(self, fobj, chunksize):
+        """One LOADER_CHUNK_SIZE slab of the csv via pandas read_csv
+        (reference kinetics.py:167-181 — including its header-infer and
+        on-error skip_rows reset semantics)."""
+        import pandas
+
+        try:
+            chunk = None
+            for chunk in pandas.read_csv(
+                fobj, chunksize=chunksize, skiprows=self.skip_rows
+            ):
+                break
+            if chunk is None:
+                raise ValueError("skip_rows beyond the csv")
+        except Exception:
+            # reference resets skip_rows and retries (kinetics.py:
+            # 176-179); retry ONCE from the start of the file — the
+            # reference's unbounded recursion on a consumed file object
+            # would loop forever
+            if self.skip_rows == 0:
+                raise
+            self.skip_rows = 0
+            fobj.seek(0)
+            return self._get_chunk(fobj, chunksize)
+        else:
+            return pandas.array(chunk.values.flatten(), dtype="string")
+
     def _construct_loader(self):
         csv_name = {"train": "train.csv", "val": "val.csv", "test": "test.csv"}[self.mode]
         path_to_file = os.path.join(self.cfg.DATA.PATH_TO_DATA_DIR, csv_name)
         assert os.path.exists(path_to_file), f"{path_to_file} not found"
+        self.skip_rows = self.cfg.DATA.SKIP_ROWS
+        use_chunk = self.mode == "train" and self.cfg.DATA.LOADER_CHUNK_SIZE > 0
         self._path_to_videos, self._labels, self._spatial_temporal_idx = [], [], []
         with open(path_to_file) as f:
-            for clip_idx, line in enumerate(f.read().splitlines()):
+            if use_chunk:
+                rows = [str(r) for r in self._get_chunk(f, self.cfg.DATA.LOADER_CHUNK_SIZE)]
+            else:
+                rows = f.read().splitlines()
+            for clip_idx, line in enumerate(rows):
                 if not line:
                     continue
-                path, label = line.split(self.cfg.DATA.PATH_LABEL_SEPARATOR)
+                fetch_info = line.split(self.cfg.DATA.PATH_LABEL_SEPARATOR)
+                # 2-field "path label" is the common layout; 3-field adds
+                # a frame-number column, 1-field has no label (reference
+                # kinetics.py:131-147)
+                if len(fetch_info) == 2:
+                    path, label = fetch_info
+                elif len(fetch_info) == 3:
+                    path, _fn, label = fetch_info
+                elif len(fetch_info) == 1:
+                    path, label = fetch_info[0], 0
+                else:
+                    raise RuntimeError(
+                        f"Failed to parse video fetch info {fetch_info}"
+                    )
                 for idx in range(self._num_clips):
                     self._path_to_videos.append(
                         os.path.join(self.cfg.DATA.PATH_PREFIX, path)

@@ -113,6 +113,125 @@ def load_checkpoint(path: str, params_template, opt_state_template=None,
             restored.get("batch_stats"))
 
 
+def clear_name_pattern_keys(sd, patterns):
+    """Strip each pattern's FIRST occurrence from torch state-dict keys
+    (reference checkpoint.py:326-339, TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN
+    — e.g. ("backbone.",) when loading detection backbones)."""
+    for item in patterns or ():
+        renamed = {}
+        for k, v in sd.items():
+            if item in k:
+                k_re = k.replace(item, "", 1)
+                logger.info("checkpoint: renaming %s -> %s", k, k_re)
+                renamed[k_re] = v
+            else:
+                renamed[k] = v
+        sd = renamed
+    return sd
+
+
+def inflate_weights(converted, template):
+    """Generic 2D->3D conv inflation (reference inflate_weight,
+    checkpoint.py:152-190 / I3D bootstrapping): a 4-D (h, w, i, o)
+    kernel matching a 5-D (t, h, w, i, o) template inflates by
+    repeating over t and dividing by t; equal shapes pass through;
+    anything else keeps the template init (the reference logs
+    "Unexpected" and drops). Returns a pytree shaped like ``template``
+    with converted/inflated leaves where available."""
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_c = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+    out = []
+    for path, leaf in flat_t:
+        cand = flat_c.get(path)
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if cand is None:
+            out.append(leaf)
+            continue
+        cand = np.asarray(cand)
+        if cand.ndim == 4 and np.ndim(leaf) == 5 and cand.shape == tuple(
+            np.shape(leaf)
+        )[1:]:
+            t = np.shape(leaf)[0]
+            logger.info(
+                "Inflate %s: %s -> %s", name, cand.shape, np.shape(leaf)
+            )
+            out.append(np.repeat(cand[None], t, axis=0) / t)
+        elif cand.shape == tuple(np.shape(leaf)):
+            out.append(cand)
+        else:
+            logger.info(
+                "Unexpected %s: %s -|> %s", name, cand.shape, np.shape(leaf)
+            )
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), out
+    )
+
+
+def _interp_linear(arr: np.ndarray, new_len: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) along
+    axis 0 of an [L, C] array."""
+    L = arr.shape[0]
+    if L == new_len:
+        return arr
+    pos = (np.arange(new_len) + 0.5) * L / new_len - 0.5
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, L - 1)
+    hi = np.clip(lo + 1, 0, L - 1)
+    w = np.clip(pos - lo, 0.0, 1.0)[:, None]
+    return arr[lo] * (1 - w) + arr[hi] * w
+
+
+def image_init_adapt(converted, template):
+    """TRAIN.CHECKPOINT_IN_INIT surgeries for image-initialised MViT
+    (reference checkpoint.py:343-460, post-conversion form): 4-D patch/
+    pool kernels repeat over the template's time extent WITHOUT the /t
+    normalisation (unlike CHECKPOINT_INFLATE — a reference quirk), a
+    time-1 pool kernel repeats to time-t, and rel_pos_* tables of the
+    wrong length linearly interpolate. (The reference's video->img
+    deflation direction serves image models only and is out of scope —
+    documented, not built.)"""
+    flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
+    flat_c = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
+    out = {}
+    for path, leaf in flat_t:
+        cand = flat_c.get(path)
+        if cand is None:
+            continue
+        cand = np.asarray(cand)
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        tgt = tuple(np.shape(leaf))
+        if cand.shape == tgt:
+            out[path] = cand
+            continue
+        if cand.ndim == 4 and len(tgt) == 5 and cand.shape == tgt[1:]:
+            logger.info("image_init: inflate %s to t=%d", name, tgt[0])
+            out[path] = np.repeat(cand[None], tgt[0], axis=0)
+        elif (
+            cand.ndim == 5
+            and len(tgt) == 5
+            and cand.shape[0] == 1
+            and cand.shape[1:] == tgt[1:]
+        ):
+            logger.info("image_init: repeat %s to t=%d", name, tgt[0])
+            out[path] = np.repeat(cand, tgt[0], axis=0)
+        elif "rel_pos" in name and cand.ndim == 2 and len(tgt) == 2 and cand.shape[1] == tgt[1]:
+            logger.info(
+                "image_init: interpolating %s %s -> %s", name, cand.shape, tgt
+            )
+            out[path] = _interp_linear(cand, tgt[0])
+        else:
+            out[path] = cand  # merge_into_template will warn/keep init
+    # rebuild a converted-shaped dict (paths map to nested dict keys)
+    result = {}
+    for path, v in out.items():
+        node = result
+        keys = [str(getattr(p, "key", p)) for p in path]
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = v
+    return result
+
+
 def merge_into_template(template, converted) -> tuple:
     """Overlay converted weights onto the initialised param tree.
 
@@ -216,6 +335,9 @@ def load_test_checkpoint(cfg, bundle):
     from vtm.checkpoints import convert
 
     sd = convert.load_torch_state_dict(path)
+    sd = clear_name_pattern_keys(
+        sd, tuple(cfg.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN)
+    )
     if bundle.name == "VideoMAE":
         converted = convert.convert_videomae(sd, depth=bundle.config.depth)
     elif bundle.name == "ViViT":
@@ -251,6 +373,11 @@ def load_test_checkpoint(cfg, bundle):
     else:
         raise NotImplementedError(bundle.name)
     if bundle.params is not None:
+        if cfg.TRAIN.CHECKPOINT_INFLATE:
+            # 2D->3D conv inflation against the model template
+            converted = inflate_weights(converted, bundle.params)
+        elif cfg.TRAIN.CHECKPOINT_IN_INIT:
+            converted = image_init_adapt(converted, bundle.params)
         bundle.params, loaded, kept = merge_into_template(bundle.params, converted)
         logger.info(
             "Loaded torch checkpoint %s (%d tensors, %d kept init)",

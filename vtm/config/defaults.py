@@ -30,6 +30,10 @@ def get_cfg() -> CfgNode:
     _C.TRAIN.CHECKPOINT_PERIOD = 10
     _C.TRAIN.AUTO_RESUME = True
     _C.TRAIN.CHECKPOINT_FILE_PATH = ""
+    # generic load-path knobs (reference defaults.py:160-172)
+    _C.TRAIN.CHECKPOINT_INFLATE = False
+    _C.TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN = ()
+    _C.TRAIN.CHECKPOINT_IN_INIT = False
     _C.TRAIN.CHECKPOINT_TYPE = "pytorch"
     _C.TRAIN.CHECKPOINT_EPOCH_RESET = False
     _C.TRAIN.MIXED_PRECISION = False
@@ -143,6 +147,8 @@ def get_cfg() -> CfgNode:
     _C.MODEL.HEAD_ACT = "softmax"
     _C.MODEL.FC_INIT_STD = 0.01
     _C.MODEL.DROPCONNECT_RATE = 0.0
+    # BN layers run in eval mode during training (reference defaults.py:441)
+    _C.MODEL.FROZEN_BN = False
     _C.MODEL.DETACH_FINAL_FC = False
     _C.MODEL.ACT_CHECKPOINT = False  # JAX analog: jax.checkpoint remat
 

@@ -62,6 +62,10 @@ class NormSpec:
     momentum: float = 0.1  # torch convention: running = (1-m)*running + m*new
     zero_init_final: bool = True  # RESNET.ZERO_INIT_FINAL_BN
     num_splits: int = 1  # >1 => SubBatchNorm (BN.NORM_TYPE sub_batchnorm)
+    # MODEL.FROZEN_BN: BN runs in eval mode (running stats, no updates)
+    # even while the rest of the model trains (reference
+    # misc.frozen_bn_stats, tools/train_net.py:74-75)
+    frozen: bool = False
 
 
 class BatchNorm(nn.Module):
@@ -79,6 +83,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.spec.frozen:
+            train = False  # MODEL.FROZEN_BN: normalize with running stats
         c = x.shape[-1]
         k = self.num_splits
         scale = self.param(

@@ -72,6 +72,7 @@ def ptv_spec_from_cfg(cfg) -> PTVSpec:
             num_splits=(
                 cfg.BN.NUM_SPLITS if cfg.BN.NORM_TYPE == "sub_batchnorm" else 1
             ),
+            frozen=cfg.MODEL.FROZEN_BN,
         ),
     )
 

@@ -150,6 +150,7 @@ def spec_from_cfg(cfg) -> ConvNetSpec:
             num_splits=(
                 cfg.BN.NUM_SPLITS if cfg.BN.NORM_TYPE == "sub_batchnorm" else 1
             ),
+            frozen=cfg.MODEL.FROZEN_BN,
         ),
         dropconnect_rate=cfg.MODEL.DROPCONNECT_RATE,
         global_head_pool=cfg.MULTIGRID.SHORT_CYCLE,
@@ -508,6 +509,7 @@ def x3d_spec_from_cfg(cfg) -> X3DSpec:
             num_splits=(
                 cfg.BN.NUM_SPLITS if cfg.BN.NORM_TYPE == "sub_batchnorm" else 1
             ),
+            frozen=cfg.MODEL.FROZEN_BN,
         ),
     )
 

@@ -50,6 +50,8 @@ def run_demo(cfg) -> int:
             top_k=cfg.DEMO.VIS_TOPK,
             thres=cfg.DEMO.COMMON_CLASS_THRES,
             mode="thres" if cfg.DEMO.VIS_MODE == "thres" else "top-k",
+            lower_thres=cfg.DEMO.UNCOMMON_CLASS_THRES,
+            common_class_names=cfg.DEMO.COMMON_CLASS_NAMES,
         )
         async_vis = AsyncVis(video_vis, n_workers=cfg.DEMO.NUM_VIS_INSTANCES)
 

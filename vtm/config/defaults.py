@@ -84,6 +84,8 @@ def get_cfg() -> CfgNode:
     # chunked csv loading (reference defaults.py:761-768): train reads
     # LOADER_CHUNK_SIZE rows starting at SKIP_ROWS; train_net rotates
     # SKIP_ROWS through LOADER_CHUNK_OVERALL_SIZE each epoch
+    _C.DATA.IN22K_TRAINVAL = False
+    _C.DATA.IN22k_VAL_IN1K = ""
     _C.DATA.LOADER_CHUNK_SIZE = 0
     _C.DATA.LOADER_CHUNK_OVERALL_SIZE = 0
     _C.DATA.SKIP_ROWS = 0
@@ -149,6 +151,12 @@ def get_cfg() -> CfgNode:
     _C.MODEL.DROPCONNECT_RATE = 0.0
     # BN layers run in eval mode during training (reference defaults.py:441)
     _C.MODEL.FROZEN_BN = False
+    _C.MODEL.FP16_ALLREDUCE = False
+    _C.MODEL.SINGLE_PATHWAY_ARCH = [
+        "2d", "c2d", "i3d", "slow", "x3d", "mvit", "maskmvit",
+        "timesformer", "motionformer", "vivit", "videomae",
+    ]
+    _C.MODEL.MULTI_PATHWAY_ARCH = ["slowfast"]
     _C.MODEL.DETACH_FINAL_FC = False
     _C.MODEL.ACT_CHECKPOINT = False  # JAX analog: jax.checkpoint remat
 
@@ -452,10 +460,18 @@ def get_cfg() -> CfgNode:
     _C.TENSORBOARD.ENABLE = False
     _C.TENSORBOARD.LOG_DIR = ""
     _C.TENSORBOARD.CLASS_NAMES_PATH = ""
+    # plot-dataset paths (reference defaults.py:1077-1089)
+    _C.TENSORBOARD.PREDICTIONS_PATH = ""
+    _C.TENSORBOARD.CATEGORIES_PATH = ""
     _C.TENSORBOARD.CONFUSION_MATRIX = CfgNode()
     _C.TENSORBOARD.CONFUSION_MATRIX.ENABLE = False
     _C.TENSORBOARD.CONFUSION_MATRIX.FIGSIZE = [8, 8]
     _C.TENSORBOARD.CONFUSION_MATRIX.SUBSET_PATH = ""
+    _C.TENSORBOARD.HISTOGRAM = CfgNode()
+    _C.TENSORBOARD.HISTOGRAM.ENABLE = False
+    _C.TENSORBOARD.HISTOGRAM.FIGSIZE = [8, 8]
+    _C.TENSORBOARD.HISTOGRAM.SUBSET_PATH = ""
+    _C.TENSORBOARD.HISTOGRAM.TOPK = 10
     _C.TENSORBOARD.MODEL_VIS = CfgNode()
     _C.TENSORBOARD.MODEL_VIS.ENABLE = False
     _C.TENSORBOARD.MODEL_VIS.MODEL_WEIGHTS = False
@@ -468,10 +484,12 @@ def get_cfg() -> CfgNode:
     _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.ENABLE = True
     _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.LAYER_LIST = []
     _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.COLORMAP = "viridis"
+    _C.TENSORBOARD.MODEL_VIS.GRAD_CAM.USE_TRUE_LABEL = False
     _C.TENSORBOARD.MODEL_VIS.MAX_BATCHES = 4
     _C.TENSORBOARD.WRONG_PRED_VIS = CfgNode()
     _C.TENSORBOARD.WRONG_PRED_VIS.ENABLE = False
     _C.TENSORBOARD.WRONG_PRED_VIS.TAG = "Incorrectly classified videos"
+    _C.TENSORBOARD.WRONG_PRED_VIS.SUBSET_PATH = ""
 
     # ------------------------------------------------------------------- DEMO
     _C.DEMO = CfgNode()
@@ -479,6 +497,15 @@ def get_cfg() -> CfgNode:
     _C.DEMO.LABEL_FILE_PATH = ""
     _C.DEMO.WEBCAM = -1
     _C.DEMO.INPUT_VIDEO = ""
+    _C.DEMO.DISPLAY_WIDTH = 0
+    _C.DEMO.DISPLAY_HEIGHT = 0
+    # Detectron2 live-boxes demo config (reference defaults.py:1193-1200)
+    # — detectron2 is not in this image; DETECTION+DEMO raises a
+    # documented unsupported error, the precomputed-boxes demo covers
+    # the rendered path (tools/ava_demo_precomputed_boxes.py)
+    _C.DEMO.DETECTRON2_CFG = "COCO-Detection/faster_rcnn_R_50_FPN_3x.yaml"
+    _C.DEMO.DETECTRON2_WEIGHTS = "detectron2://COCO-Detection/faster_rcnn_R_50_FPN_3x/137849458/model_final_280758.pkl"
+    _C.DEMO.DETECTRON2_THRESH = 0.9
     _C.DEMO.OUTPUT_FILE = ""
     _C.DEMO.OUTPUT_FPS = -1
     _C.DEMO.INPUT_FORMAT = "BGR"
@@ -495,6 +522,24 @@ def get_cfg() -> CfgNode:
     _C.DEMO.FPS = 30
     _C.DEMO.VIS_MODE = "thres"
     _C.DEMO.COMMON_CLASS_THRES = 0.7
+    # lower threshold for classes NOT in COMMON_CLASS_NAMES (upstream
+    # dual-threshold demo labelling; dead keys in the reference fork —
+    # honored by vtm's VideoVisualizer thres mode)
+    _C.DEMO.UNCOMMON_CLASS_THRES = 0.3
+    _C.DEMO.COMMON_CLASS_NAMES = [
+        "watch (a person)",
+        "talk to (e.g., self, a person, a group)",
+        "listen to (a person)",
+        "touch (an object)",
+        "carry/hold (an object)",
+        "walk",
+        "sit",
+        "lie/sleep",
+        "bend/bow (at the waist)",
+    ]
+    # output video plays SLOWMO x slower (dead key in the reference
+    # fork; honored by vtm demo's output fps)
+    _C.DEMO.SLOWMO = 1
 
     # -------------------------------------------------------------------- AUG
     _C.AUG = CfgNode()

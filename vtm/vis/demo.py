@@ -76,6 +76,9 @@ class VideoManager:
             fps = cfg.DEMO.OUTPUT_FPS
             if fps == -1:
                 fps = self.cap.get(cv2.CAP_PROP_FPS) or 30
+            # DEMO.SLOWMO: the output plays SLOWMO x slower (upstream
+            # semantics for a key the reference fork left dead)
+            fps = max(1.0, float(fps) / max(1, int(cfg.DEMO.SLOWMO)))
             w = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
             h = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
             self.output_file = cv2.VideoWriter(

@@ -45,13 +45,26 @@ class VideoVisualizer:
 
     def __init__(self, num_classes: int, class_names: Optional[List[str]] = None,
                  top_k: int = 1, thres: float = 0.7, mode: str = "top-k",
-                 colormap: str = "rainbow"):
+                 colormap: str = "rainbow", lower_thres: float = 0.3,
+                 common_class_names: Optional[List[str]] = None):
         assert mode in ("top-k", "thres")
         self.num_classes = num_classes
         self.class_names = class_names or [str(i) for i in range(num_classes)]
         self.top_k = top_k
         self.thres = thres
         self.mode = mode
+        # dual-threshold labelling (upstream PySlowFast semantics the
+        # reference fork's gutted visualizer dropped; DEMO.
+        # COMMON_CLASS_NAMES / UNCOMMON_CLASS_THRES): frequent classes
+        # require `thres`, everything else the lower threshold
+        self.lower_thres = lower_thres
+        if common_class_names:
+            common = set(common_class_names)
+            self.common_class_ids = [
+                i for i, n in enumerate(self.class_names) if n in common
+            ]
+        else:
+            self.common_class_ids = None
         import matplotlib.pyplot as plt
 
         self.cmap = plt.get_cmap(colormap, num_classes)
@@ -60,6 +73,10 @@ class VideoVisualizer:
         preds = np.asarray(preds).reshape(-1)
         if self.mode == "top-k":
             idx = np.argsort(-preds)[: self.top_k]
+        elif self.common_class_ids is not None:
+            thr = np.full(preds.shape, self.lower_thres)
+            thr[self.common_class_ids] = self.thres
+            idx = np.nonzero(preds >= thr)[0]
         else:
             idx = np.nonzero(preds >= self.thres)[0]
         labels = _create_text_labels(

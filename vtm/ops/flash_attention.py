@@ -190,8 +190,14 @@ def _forward(q, k, v, key_bias, sm_scale, blk_q):
     path when no exact-divisor chunk exists for a long row."""
     b, h, n, d = q.shape
     n8 = -(-n // 8) * 8
-    hi = min(1056, blk_q) if blk_q else 1056
-    if n8 >= 1152:
+    env_blk = os.environ.get("VTM_DENSE_BLK")
+    if env_blk:
+        # on-chip A/B override (tools/ab_b32.py); must divide ceil8(N)
+        blk = int(env_blk)
+        if n8 % blk or blk % 8:
+            raise ValueError(f"VTM_DENSE_BLK={blk} does not divide n8={n8}")
+    elif n8 >= 1152:
+        hi = min(1056, blk_q) if blk_q else 1056
         blk = _divisor_near(n8, 384, hi, 784)
         if blk is None:
             return _forward_lanepad(q, k, v, key_bias, sm_scale, blk_q)

@@ -56,10 +56,16 @@ def ref_meters():
         ("slowfast.models", f"{ref}/slowfast/models"),
         ("slowfast.config", f"{ref}/slowfast/config"),
     ):
-        if pkg not in sys.modules:
+        # earlier tests' load_reference_module may have created the
+        # package module WITHOUT __path__ (it loads leaf modules by file
+        # path); submodule imports here then die with "unknown location"
+        # — so ensure __path__ on pre-existing package modules too.
+        m = sys.modules.get(pkg)
+        if m is None:
             m = types.ModuleType(pkg)
-            m.__path__ = [path]
             sys.modules[pkg] = m
+        if not getattr(m, "__path__", None):
+            m.__path__ = [path]
     for name in ("Kinetics", "Ssv2", "Epickitchens"):
         setattr(sys.modules["slowfast.datasets"], name, mock.MagicMock(name=name))
     return load_reference_module("slowfast/utils/meters.py", "ref_meters_deep")

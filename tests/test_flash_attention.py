@@ -28,7 +28,16 @@ def test_kernel_matches_reference(n, with_bias):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("n,with_bias", [(256, False), (300, True), (520, True)])
+@pytest.mark.parametrize(
+    "n,with_bias",
+    [
+        (256, False),  # n8 path, zero padding, whole-row block
+        (300, True),   # n8 path, 4 pad keys masked by -1e30 bias entries
+        (300, False),  # same padding on the unbiased path
+        (520, True),   # _bwd_pick search past base: n8=528, blk=264
+        (712, False),  # search past base, unbiased: n8=720, blk=240
+    ],
+)
 def test_kernel_gradients_match_reference(n, with_bias):
     """Fused backward kernel (dq/dk/dv/dbias, q-block accumulation) vs
     the einsum reference vjp — including non-multiple-of-128 N (padded

@@ -411,12 +411,51 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref, d
         db_ref[0] += db_new
 
 
+def _bwd_pick(n: int) -> Optional[Tuple[int, int]]:
+    """(n8, blk) for the sublane-aligned backward: the smallest /8
+    padding of ``n`` that admits an exact-divisor q-block near 256
+    (bounded so the four live [blk, n8] fp32 tiles stay under ~9 MB of
+    VMEM). N=1568 -> (1568, 224) with ZERO padding; N=1418 -> (1440,
+    288) at 1.5% padding vs the old 128-lane 1536 (8.3%). None -> no
+    candidate up to ceil128(n); caller falls back to the lane-padded
+    path."""
+    base = -(-n // 8) * 8
+    if base <= _LANE:
+        return base, base
+    for n8 in range(base, -(-n // _LANE) * _LANE + 1, 8):
+        hi = min(512, n8, max(128, 9_000_000 // (16 * n8) // 8 * 8))
+        blk = n8 if n8 <= hi else _divisor_near(n8, 128, hi, 256)
+        if blk is not None:
+            return n8, blk
+    return None
+
+
 def _backward(q, k, v, key_bias, g, sm_scale, blk_q=256):
+    """Sublane-aligned (n8) backward; same padding scheme as the
+    forward (the token dim sits on sublanes, so /8 alignment suffices
+    and pad queries/keys are killed by zero-padded do / -1e30 bias
+    entries). Falls back to the 128-lane-padded path when no
+    exact-divisor q-block exists."""
     b, h, n, d = q.shape
+    pick = _bwd_pick(n)
+    if pick is None:
+        return _backward_lanepad(q, k, v, key_bias, g, sm_scale, blk_q)
+    n_pad, blk_q_eff = pick
+    return _backward_impl(q, k, v, key_bias, g, sm_scale, n_pad, blk_q_eff)
+
+
+def _backward_lanepad(q, k, v, key_bias, g, sm_scale, blk_q=256):
+    """Legacy 128-lane-padded backward (fallback only)."""
+    n = q.shape[2]
     n_pad = -(-n // _LANE) * _LANE
     blk_q_eff = blk_q
     while n_pad % blk_q_eff:
         blk_q_eff //= 2
+    return _backward_impl(q, k, v, key_bias, g, sm_scale, n_pad, blk_q_eff)
+
+
+def _backward_impl(q, k, v, key_bias, g, sm_scale, n_pad, blk_q_eff):
+    b, h, n, d = q.shape
     dtype = q.dtype
 
     qs = q.reshape(b * h, n, d)

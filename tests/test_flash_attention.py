@@ -198,6 +198,41 @@ def test_frame_tm_kernel_head_group_sizes(group, monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("variant", ["1", "0"])
+@pytest.mark.parametrize(
+    "f,s,h,with_bias",
+    [
+        (4, 50, 2, True),    # s_pad=56 (ceil8) vs 128 (ceil128)
+        (8, 193, 4, True),   # padded q fallback, s_pad=200
+        (8, 196, 12, False), # the Motionformer production shape (s=14*14)
+        (5, 8, 4, True),     # odd frame count: fcs=1
+    ],
+)
+def test_frame_tm_s8_matches_reference(f, s, h, with_bias, variant, monkeypatch):
+    """Both token-major layouts must match the dense reference: the
+    default transposed s8 scheme (frame axis on SUBLANES, s pads to
+    ceil8 instead of ceil128, p normalised pre-PV) and the lane-major
+    fallback kept for A/B (VTM_FRAME_S8=0)."""
+    from vtm.ops.flash_attention import _frame_forward_tm, _frame_reference
+
+    monkeypatch.setenv("VTM_FRAME_S8", variant)
+    b, d = 1, 64
+    n = f * s
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = (
+        jnp.asarray(np.log(rng.uniform(1, 4, (b, n))), jnp.float32)
+        if with_bias
+        else None
+    )
+    ref = np.asarray(_frame_reference(q, k, v, bias, 0.25, f))
+    got = np.asarray(_frame_forward_tm(q, k, v, bias, 0.25, f, 784))
+    assert got.shape == (b, n, f, h, d)
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 def test_frame_tm_kernel_invalid_overrides_raise(monkeypatch):
     """Explicit A/B knobs that Mosaic would reject (or that don't
     divide h / f) must raise, not silently fall back — a silently

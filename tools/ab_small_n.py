@@ -73,14 +73,13 @@ def main():
     rng = np.random.default_rng(0)
     H, D = 12, 64
     scale = 1.0 / np.sqrt(D)
-    cases = (
-        [("unbiased", 8, n) for n in (109, 157, 218, 368)]
-        + [("biased", 8, n) for n in (109, 157, 218, 368)]
-        + [
-            ("biased_cls", 64, n)
-            for n in (125, 149, 173, 197, 221, 245, 256, 287, 320, 384, 512)
-        ]
-    )
+    # The merged-VideoMAE tail rows (b=8, N<=368) are ~2% of model time
+    # and sit at the timing floor — only the TimeSformer-regime
+    # CLS-excluded crossover is actionable (where does the n8 kernel
+    # overtake the fused rank-1 einsum at bt=64?).
+    cases = [
+        ("biased_cls", 64, n) for n in (197, 256, 320, 384, 448, 512)
+    ]
     for mode, b, n in cases:
         q = jnp.asarray(rng.standard_normal((b, H, n, D)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((b, H, n, D)), jnp.bfloat16)
@@ -92,8 +91,7 @@ def main():
             sb = jnp.asarray(
                 np.log(rng.uniform(1, 12, (b, 1, 1, kn))), jnp.float32
             )
-        # keep the chain comfortably above the host rtt (~34 ms)
-        iters = max(300, int(6e9 / (b * H * n * n * D)))
+        iters = 300
         row = {}
         ref = None
         for force in ("einsum", "kernel"):

@@ -727,6 +727,26 @@ def _frame_tm_group(h: int, d: int) -> int:
     )
 
 
+def _frame_tm_fcs(f: int) -> int:
+    """Frames per grid step for the token-major kernels: 4 is the
+    measured production choice at the Motionformer shape
+    (PROFILE_FRAME_TM.json: 1.71 vs 1.91 ms for 2; whole-model A/B
+    PROFILE_FRAME_FCS_AB.json: merged 36.1 vs 37.1 ms) — bigger K/V
+    blocks amortise the per-grid-step overhead while ``_frame_blk_q``
+    keeps the fp32 logits tiles inside the VMEM budget. fcs=8
+    (whole-row) blows that budget and fails to compile.
+    VTM_FRAME_TM_FCS overrides for on-chip A/B."""
+    fcs = 4 if f % 4 == 0 else (2 if f % 2 == 0 else 1)
+    fcs_env = os.environ.get("VTM_FRAME_TM_FCS")
+    if fcs_env is not None and int(fcs_env) > 0:
+        if f % int(fcs_env) != 0:
+            raise ValueError(
+                f"VTM_FRAME_TM_FCS={fcs_env} does not divide frames={f}"
+            )
+        fcs = int(fcs_env)
+    return fcs
+
+
 def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     """Token-major-output variant of ``_frame_forward`` for EVEN head
     counts: grid (b, q-block, head-group, frame-chunk), out
@@ -736,24 +756,18 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
     overlapped copies in-model, and full-f K/V blocks (2 x 1 MB double-
     buffered) plus two whole-row fp32 logits tiles blew the 16 MB limit
     inside the merged Motionformer program (~6 MB total at fcs=2,
-    blk_q=784)."""
+    blk_q=784).
+
+    Default layout is the transposed sublane-aligned s8 scheme
+    (``_frame_forward_tm_s8``): whole-model Motionformer merged 220.8
+    -> 234.8 clips/s, baseline 103.8 -> 108.0 (PROFILE_FRAME_S8.json).
+    VTM_FRAME_S8=0 keeps the lane-major layout for on-chip A/B."""
+    if os.environ.get("VTM_FRAME_S8", "1") == "1":
+        return _frame_forward_tm_s8(q, k, v, key_bias, sm_scale, frames, blk_q)
     b, h, n, d = q.shape
     f = frames
     g = _frame_tm_group(h, d)
-    # frames per grid step: 4 is the measured production choice at the
-    # Motionformer shape (PROFILE_FRAME_TM.json: 1.71 vs 1.91 ms for 2;
-    # whole-model A/B PROFILE_FRAME_FCS_AB.json: merged 36.1 vs 37.1 ms)
-    # — bigger K/V blocks amortise the per-grid-step overhead while
-    # _frame_blk_q keeps the fp32 logits tiles inside the VMEM budget.
-    # fcs=8 (whole-row) blows that budget and fails to compile.
-    fcs = 4 if f % 4 == 0 else (2 if f % 2 == 0 else 1)
-    fcs_env = os.environ.get("VTM_FRAME_TM_FCS")
-    if fcs_env is not None and int(fcs_env) > 0:
-        if f % int(fcs_env) != 0:
-            raise ValueError(
-                f"VTM_FRAME_TM_FCS={fcs_env} does not divide frames={f}"
-            )
-        fcs = int(fcs_env)
+    fcs = _frame_tm_fcs(f)
     s_len = n // f
     s_pad = -(-s_len // _LANE) * _LANE
     n_pad = s_pad * f
@@ -783,6 +797,101 @@ def _frame_forward_tm(q, k, v, key_bias, sm_scale, frames, blk_q):
         # Mosaic block rule wants the last-two block dims ÷(8,128) or
         # equal to the array dims; (fcs, g*128) qualifies by equality) —
         # [B, nq, f//fcs, fcs, (h//g)*g*d] reshapes freely to [B,N,F,D]
+        out_specs=pl.BlockSpec(
+            (1, blk_q_eff, 1, fcs, g * d),
+            lambda bi, qi, hp, fc: (bi, qi, fc, 0, hp),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nq_pad, f // fcs, fcs, h * d), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * nq_pad * n_pad * d,
+            bytes_accessed=(3 * b * h * n_pad * d + b * nq_pad * f * h * d) * 2,
+            transcendentals=b * h * nq_pad * n_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias)
+    return out[:, :n].reshape(b, n, f, h, d)
+
+
+def _make_frame_tm_s8_kernel(fcs: int, s_pad: int, group: int):
+    def _frame_tm_s8_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+        """Transposed-QK (s8) program: logits are [c_pad, blk_q] with
+        the key/frame axis on SUBLANES, so per-frame slices need only
+        8-alignment (s_pad = ceil8(s) instead of ceil128 — 196 -> 200
+        vs 256 at the Motionformer shape). Softmax reduces over
+        sublanes; p is normalised in fp32 BEFORE the PV matmul so no
+        [1, blk] -> [blk, 1] denominator transpose is needed."""
+        ss = []
+        for j in range(group):
+            st = jax.lax.dot_general(
+                k_ref[0, j],
+                q_ref[0, j],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [c_pad, blk_q]
+            ss.append(st + bias_ref[0])  # [c_pad, 1] lane-broadcast (-1e30 pads)
+        for fi in range(fcs):
+            cols = []
+            for j in range(group):
+                sf = ss[j][fi * s_pad : (fi + 1) * s_pad, :]
+                m = jnp.max(sf, axis=0, keepdims=True)  # [1, blk_q]
+                p = jnp.exp(sf - m)
+                p = p / jnp.sum(p, axis=0, keepdims=True)
+                o = jax.lax.dot_general(
+                    p.astype(v_ref.dtype),
+                    v_ref[0, j, fi * s_pad : (fi + 1) * s_pad, :],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [blk_q, d]
+                cols.append(o)
+            o_ref[0, :, 0, fi, :] = jnp.concatenate(cols, axis=-1).astype(
+                o_ref.dtype
+            )
+
+    return _frame_tm_s8_kernel
+
+
+def _frame_forward_tm_s8(q, k, v, key_bias, sm_scale, frames, blk_q):
+    """Sublane-aligned (s8) variant of ``_frame_forward_tm``: same grid
+    and token-major output, but the QK matmul is transposed so the
+    frame axis sits on sublanes and per-frame padding drops from
+    ceil128 to ceil8 (22% less QK/exp work and smaller K/V blocks at
+    s=196). Trade-off: the q-block dim becomes the LANE dim of the
+    fp32 logits tile, so non-128-multiple q blocks (784 -> 896
+    internal) give back some of the win. Measured net (PROFILE_FRAME_S8
+    .json, v5e): standalone -14% at s=196 AND s=106, whole-model merged
+    Motionformer +6.4% clips/s — the production default; VTM_FRAME_S8=0
+    restores the lane-major layout for A/B."""
+    b, h, n, d = q.shape
+    f = frames
+    g = _frame_tm_group(h, d)
+    fcs = _frame_tm_fcs(f)
+    s_len = n // f
+    s_pad = -(-s_len // 8) * 8
+    n_pad = s_pad * f
+    c_pad = s_pad * fcs
+    blk_q_eff = _frame_blk_q(n, g * c_pad, blk_q)
+    nq_pad = -(-n // blk_q_eff) * blk_q_eff
+    dtype = q.dtype
+
+    qs = (q * sm_scale).reshape(b, h, n, d)
+    if nq_pad != n:
+        qs = jnp.pad(qs, [(0, 0), (0, 0), (0, nq_pad - n), (0, 0)])
+    ks, vs = _pad_frames_kv(k, v, f, s_pad)
+    bias = _frame_key_bias(key_bias, b, f, s_len, s_pad).reshape(
+        b, f * s_pad, 1
+    )
+
+    grid = (b, nq_pad // blk_q_eff, h // g, f // fcs)
+    out = pl.pallas_call(
+        _make_frame_tm_s8_kernel(fcs, s_pad, g),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, g, blk_q_eff, d), lambda bi, qi, hp, fc: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g, c_pad, d), lambda bi, qi, hp, fc: (bi, hp, fc, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_pad, 1), lambda bi, qi, hp, fc: (bi, fc, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
             (1, blk_q_eff, 1, fcs, g * d),
             lambda bi, qi, hp, fc: (bi, qi, fc, 0, hp),

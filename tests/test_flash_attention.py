@@ -261,6 +261,7 @@ def test_frame_tm_kernel_invalid_overrides_raise(monkeypatch):
     assert _frame_tm_group(12, 32) == 4  # 4*32 == 128
 
 
+@pytest.mark.parametrize("variant", ["1", "0"])
 @pytest.mark.parametrize(
     "f,s,h,with_bias",
     [
@@ -272,7 +273,8 @@ def test_frame_tm_kernel_invalid_overrides_raise(monkeypatch):
         (8, 300, 4, True),   # f*s_pad > 2048: fallback on long rows
     ],
 )
-def test_frame_kernel_gradients_match_reference(f, s, h, with_bias):
+def test_frame_kernel_gradients_match_reference(f, s, h, with_bias, variant, monkeypatch):
+    monkeypatch.setenv("VTM_FRAME_S8", variant)
     """Fused per-frame backward (head-pair grid, q-block accumulation,
     per-frame softmax recompute) vs the dense reference vjp — padded
     queries/keys must contribute zero grad and the key_bias cotangent

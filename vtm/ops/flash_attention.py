@@ -1004,7 +1004,13 @@ def _make_frame_bwd_kernel(frames: int, s_pad: int, scale: float):
 
 def _frame_backward_tm(q, k, v, key_bias, g, sm_scale, frames, blk_q=256):
     """Fused backward for even head counts (head-pair grid like the
-    forward). ``g`` is the token-major cotangent [B, N, F, H, d]."""
+    forward). ``g`` is the token-major cotangent [B, N, F, H, d].
+    Defaults to the transposed sublane-aligned s8 layout (see
+    ``_frame_forward_tm``); VTM_FRAME_S8=0 keeps lane-major for A/B."""
+    if os.environ.get("VTM_FRAME_S8", "1") == "1":
+        return _frame_backward_tm_s8(
+            q, k, v, key_bias, g, sm_scale, frames, blk_q
+        )
     b, h, n, d = q.shape
     f = frames
     s_len = n // f
@@ -1075,6 +1081,169 @@ def _frame_backward_tm(q, k, v, key_bias, g, sm_scale, frames, blk_q=256):
     return dq, dk.astype(dtype), dv.astype(dtype), dbias
 
 
+def _make_frame_bwd_s8_kernel(frames: int, s_pad: int, scale: float):
+    def _frame_bwd_s8_kernel(
+        q_ref, k_ref, v_ref, bias_ref, do_ref,
+        dq_ref, dk_ref, dv_ref, db_ref,
+    ):
+        """Transposed (s8) backward program: the recomputed per-frame
+        softmax tiles are [s_pad, blk_q] with the key axis on SUBLANES
+        (s_pad = ceil8(s), not ceil128 — same win as the s8 forward),
+        the bias is a column slice, and EVERY dot of the flash-bwd
+        algebra lands transpose-free in this layout:
+          dp = v do^T ; ds = p (dp - colsum(p dp))
+          dq += scale ds^T k ; dk += scale ds q ; dv += p do ;
+          db += rowsum(ds)  (a [s_pad, 1] column).
+        Accumulator residency across sequential q blocks is identical
+        to ``_make_frame_bwd_kernel``."""
+        qi = pl.program_id(2)
+        for j in range(2):
+            q = q_ref[0, j]  # [blk_q, d] (unscaled)
+            k = k_ref[0, j]  # [n_pad, d]
+            v = v_ref[0, j]
+            dq_acc = None
+            for fi in range(frames):
+                lo, hi = fi * s_pad, (fi + 1) * s_pad
+                kf = k[lo:hi]  # [s_pad, d]
+                vf = v[lo:hi]
+                sf = (
+                    jax.lax.dot_general(
+                        kf, q, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias_ref[0][lo:hi]  # [s_pad, 1] lane-broadcast
+                )  # [s_pad, blk_q]
+                m = jnp.max(sf, axis=0, keepdims=True)
+                p = jnp.exp(sf - m)
+                p = p / jnp.sum(p, axis=0, keepdims=True)  # fp32
+                dof = do_ref[0, j, fi]  # [blk_q, d]
+                dp = jax.lax.dot_general(
+                    vf, dof, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [s_pad, blk_q]
+                delta = jnp.sum(p * dp, axis=0, keepdims=True)  # [1, blk_q]
+                ds = p * (dp - delta)
+                p_lo = p.astype(dof.dtype)
+                ds_lo = ds.astype(dof.dtype)
+                dq_par = (
+                    jax.lax.dot_general(
+                        ds_lo, kf, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # [blk_q, d]
+                dq_acc = dq_par if dq_acc is None else dq_acc + dq_par
+                dk_f = (
+                    jax.lax.dot_general(
+                        ds_lo, q, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                )  # [s_pad, d]
+                dv_f = jax.lax.dot_general(
+                    p_lo, dof, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [s_pad, d]
+                db_f = jnp.sum(ds, axis=1, keepdims=True)  # [s_pad, 1]
+
+                @pl.when(qi == 0)
+                def _():
+                    dk_ref[0, j, lo:hi] = dk_f
+                    dv_ref[0, j, lo:hi] = dv_f
+
+                @pl.when(qi > 0)
+                def _():
+                    dk_ref[0, j, lo:hi] += dk_f
+                    dv_ref[0, j, lo:hi] += dv_f
+
+                first = jnp.logical_and(qi == 0, j == 0)
+
+                @pl.when(first)
+                def _():
+                    db_ref[0, 0, lo:hi] = db_f
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    db_ref[0, 0, lo:hi] += db_f
+            dq_ref[0, j] = dq_acc.astype(dq_ref.dtype)
+
+    return _frame_bwd_s8_kernel
+
+
+def _frame_backward_tm_s8(q, k, v, key_bias, g, sm_scale, frames, blk_q=256):
+    """s8 (sublane-aligned) variant of ``_frame_backward_tm`` — same
+    grid/accumulator scheme, per-frame padding ceil8 instead of
+    ceil128, bias and dbias as [n_pad, 1] columns."""
+    b, h, n, d = q.shape
+    f = frames
+    s_len = n // f
+    s_pad = -(-s_len // 8) * 8
+    n_pad = s_pad * f
+    blk_q_eff = _frame_blk_q(n, 3 * s_pad, blk_q)
+    nq_pad = -(-n // blk_q_eff) * blk_q_eff
+    dtype = q.dtype
+
+    qs = q
+    if nq_pad != n:
+        qs = jnp.pad(qs, [(0, 0), (0, 0), (0, nq_pad - n), (0, 0)])
+    ks, vs = _pad_frames_kv(k, v, f, s_pad)
+
+    gs = g
+    if nq_pad != n:
+        gs = jnp.pad(gs, [(0, 0), (0, nq_pad - n), (0, 0), (0, 0), (0, 0)])
+    gs = jnp.transpose(gs, (0, 3, 2, 1, 4))  # [B, H, F, nq_pad, d]
+
+    bias = _frame_key_bias(key_bias, b, f, s_len, s_pad).reshape(
+        b, f * s_pad, 1
+    )
+
+    grid = (b, h // 2, nq_pad // blk_q_eff)
+    dq, dk, dv, db = pl.pallas_call(
+        _make_frame_bwd_s8_kernel(f, s_pad, sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, hp, qi: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_pad, 1), lambda bi, hp, qi: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, f, blk_q_eff, d), lambda bi, hp, qi: (bi, hp, 0, qi, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, blk_q_eff, d), lambda bi, hp, qi: (bi, hp, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n_pad, d), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad, 1), lambda bi, hp, qi: (bi, hp, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nq_pad, d), dtype),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h // 2, n_pad, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * h * nq_pad * n_pad * d,
+            bytes_accessed=(7 * b * h * n_pad * d) * 2,
+            transcendentals=b * h * nq_pad * n_pad,
+        ),
+        interpret=jax.default_backend() not in ("tpu", "axon"),
+    )(qs, ks, vs, bias, gs)
+
+    dq = dq[:, :, :n, :]
+    dk = dk.reshape(b, h, f, s_pad, d)[:, :, :, :s_len].reshape(b, h, n, d)
+    dv = dv.reshape(b, h, f, s_pad, d)[:, :, :, :s_len].reshape(b, h, n, d)
+    if key_bias is None:
+        dbias = None
+    else:
+        dbias = (
+            db.sum(axis=1)
+            .reshape(b, f, s_pad)[:, :, :s_len]
+            .reshape(b, n)
+            .astype(key_bias.dtype)
+        )
+    return dq, dk.astype(dtype), dv.astype(dtype), dbias
+
+
 def _frame_reference(q, k, v, key_bias, sm_scale, frames):
     b, h, n, d = q.shape
     f = frames
@@ -1120,7 +1289,11 @@ def _frame_fwd(q, k, v, key_bias, sm_scale, frames, blk_q):
 
 def _frame_bwd(sm_scale, frames, blk_q, res, g):
     q, k, v, key_bias = res
-    s_pad = -(-(q.shape[2] // frames) // _LANE) * _LANE
+    # the whole-row VMEM cap is checked at the ACTIVE layout's padding:
+    # the default s8 scheme pads per frame to ceil8 (so e.g. 16 frames
+    # of s=127 -> 2048 still take the fused kernel), lane-major ceil128
+    align = 8 if os.environ.get("VTM_FRAME_S8", "1") == "1" else _LANE
+    s_pad = -(-(q.shape[2] // frames) // align) * align
     if q.shape[1] % 2 == 0 and frames * s_pad <= 2048:
         # fused kernel: per-frame softmax recompute in [blk_q, s_pad]
         # tiles — the dense-reference vjp below materialises the whole

@@ -38,6 +38,10 @@ def _ref_ssv2_module():
             return lambda cls: cls
 
     build_mod.DATASET_REGISTRY = _Registry()
+    # the stub persists in sys.modules: later oracle imports (the
+    # driver-parity meters chain pulls datasets/loader.py) also need
+    # build_dataset from this module
+    build_mod.build_dataset = mock.MagicMock(name="build_dataset")
     utils_mod = mock.MagicMock(name="slowfast.datasets.utils")
     utils_mod.__spec__ = mock.MagicMock()
     # slowfast.utils must be a PACKAGE (have __path__) — later tests

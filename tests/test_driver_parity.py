@@ -68,6 +68,20 @@ def ref_meters():
             m.__path__ = [path]
     for name in ("Kinetics", "Ssv2", "Epickitchens"):
         setattr(sys.modules["slowfast.datasets"], name, mock.MagicMock(name=name))
+    # earlier tests (test_data_oracles) leave PARTIAL leaf stubs in
+    # sys.modules (slowfast.datasets.build with only DATASET_REGISTRY,
+    # slowfast.utils.logging with only get_logger); the meters import
+    # chain needs more (build_dataset, log_json_stats). Evict any stub
+    # that misses an attribute this chain uses so the REAL reference
+    # module imports in its place (its own deps are stubbed above).
+    for leaf, attr in (
+        ("slowfast.datasets.build", "build_dataset"),
+        ("slowfast.utils.logging", "log_json_stats"),
+        ("slowfast.utils.env", "pathmgr"),
+    ):
+        stale = sys.modules.get(leaf)
+        if stale is not None and not hasattr(stale, attr):
+            del sys.modules[leaf]
     return load_reference_module("slowfast/utils/meters.py", "ref_meters_deep")
 
 

@@ -267,9 +267,10 @@ def main():
         "token_counts": list(merged_policy.token_counts(config.tokens)),
         "analysis": (
             "PERF_NOTES.md + PROFILE_MERGED.json: residual vs FLOP-ideal is"
-            " the big-N ViT blocks (attention-bound at head_dim 64, whose"
-            " qk/pv matmuls half-fill the 128-wide MXU); matcher+merge is"
-            " ~3%, small-N tail ~2%"
+            " the big-N ViT blocks' attention at head_dim 64 — a d=64 qk"
+            " contraction runs ~78 TF/s in-kernel vs ~182 at contraction"
+            " 128, and head-pair MXU packing was measured slower"
+            " (PROFILE_MXU_PACK); matcher+merge is ~3%, small-N tail ~2%"
         ),
     }
     try:

@@ -28,6 +28,39 @@ def test_kernel_matches_reference(n, with_bias):
     np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
 
 
+def test_fwd_pick_table():
+    """Long-row (n8, blk) selection: headline shapes keep their proven
+    blocks; ViViT's N=3137 pads past base (3144 = 8*3*131 admits only
+    blk=1048, which fails to compile at batch 8) to 3160 -> blk=632."""
+    from vtm.ops.flash_attention import _fwd_pick
+
+    assert _fwd_pick(1568, 1056) == (1568, 784)
+    assert _fwd_pick(1418, 1056) == (1424, 712)
+    assert _fwd_pick(3137, 1056) == (3160, 632)
+    # previously no in-window divisor at base 1160 -> lanepad fallback;
+    # the search now finds 1168 -> 584
+    assert _fwd_pick(1160, 1056) == (1168, 584)
+
+
+@pytest.mark.parametrize("with_bias", [False, True])
+def test_long_row_padded_pick_matches_reference(with_bias):
+    """Forward parity through the _fwd_pick padded-n8 search branch
+    (n=1160 -> n8=1168, blk=584: 8 pad keys masked in the last chunk)."""
+    b, h, d, n = 1, 1, 64, 1160
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, n, d)), jnp.float32)
+    bias = (
+        jnp.asarray(np.log(rng.uniform(1, 5, (b, n))), jnp.float32)
+        if with_bias
+        else None
+    )
+    ref = np.asarray(_reference(q, k, v, bias, 0.125))
+    got = np.asarray(tome_flash_attention(q, k, v, bias, 0.125))
+    np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize(
     "n,with_bias",
     [

@@ -121,6 +121,31 @@ def _pick_blk_q(n_pad: int, requested: Optional[int]) -> int:
     return blk
 
 
+def _fwd_pick(n: int, hi: int) -> Optional[Tuple[int, int]]:
+    """(n8, blk) for long forward rows (ceil8(n) >= 1152): the smallest
+    /8 padding of ``n`` that admits an exact-divisor key chunk in the
+    measured square-ish sweet spot (384..832, near 784 — see
+    _forward_lanepad's chunk notes). Base-padding-only selection took
+    blk=1048 at ViViT's N=3137 (ceil8 = 3144 = 8*3*131 has no other /8
+    divisor in the window), whose [1048, 1048] fp32 logits tile fails
+    to compile at batch 8 (remote compile-helper exit 1, BENCH_FAMILIES
+    round-4 refresh); padding 23 more keys to 3160 gives blk=632 — the
+    same regime as the proven N=1568 -> blk=784 config. Falls back to
+    the first candidate admitting any in-window chunk (old behavior),
+    else None -> the caller's 128-lane-padded path."""
+    base = -(-n // 8) * 8
+    fallback = None
+    for n8 in range(base, -(-n // _LANE) * _LANE + 1, 8):
+        blk = _divisor_near(n8, 384, min(832, hi), 784)
+        if blk is not None:
+            return n8, blk
+        if fallback is None and hi > 832:
+            blk = _divisor_near(n8, 384, hi, 784)
+            if blk is not None:
+                fallback = (n8, blk)
+    return fallback
+
+
 def _divisor_near(n8: int, lo: int, hi: int, target: int) -> Optional[int]:
     """Largest-|target-c|-minimizing multiple of 8 in [lo, hi] that
     divides n8 exactly; None if there is none."""
@@ -189,6 +214,9 @@ def _forward(q, k, v, key_bias, sm_scale, blk_q):
     """Sublane-aligned (n8) forward; falls back to the 128-lane-padded
     path when no exact-divisor chunk exists for a long row."""
     b, h, n, d = q.shape
+    if os.environ.get("VTM_DENSE_N8", "1") == "0":
+        # on-chip A/B escape hatch: force the legacy 128-lane-padded path
+        return _forward_lanepad(q, k, v, key_bias, sm_scale, blk_q)
     n8 = -(-n // 8) * 8
     env_blk = os.environ.get("VTM_DENSE_BLK")
     if env_blk:
@@ -198,9 +226,10 @@ def _forward(q, k, v, key_bias, sm_scale, blk_q):
             raise ValueError(f"VTM_DENSE_BLK={blk} does not divide n8={n8}")
     elif n8 >= 1152:
         hi = min(1056, blk_q) if blk_q else 1056
-        blk = _divisor_near(n8, 384, hi, 784)
-        if blk is None:
+        pick = _fwd_pick(n, hi)
+        if pick is None:
             return _forward_lanepad(q, k, v, key_bias, sm_scale, blk_q)
+        n8, blk = pick
     elif blk_q and blk_q < n8:
         blk = _divisor_near(n8, 8, blk_q, blk_q)
         if blk is None:

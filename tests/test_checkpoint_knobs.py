@@ -53,10 +53,15 @@ def test_inflate_2d_into_3d_conv():
         out["conv"]["kernel"].sum(axis=0), k2d, rtol=1e-6
     )
     np.testing.assert_allclose(out["bn"]["scale"], 1.0)
-    assert out["other"]["w"].shape == (2, 2)  # kept template init
+    # mismatched leaves pass through UNCHANGED (the reference logs
+    # "Unexpected" and drops) so merge_into_template's loaded/kept-init
+    # accounting stays faithful
+    assert out["other"]["w"].shape == (7, 7)
 
     merged, loaded, kept = merge_into_template(template, out)
-    assert loaded == 3 and kept == 0  # everything template-shaped now
+    assert loaded == 2 and kept == 1
+    assert merged["other"]["w"].shape == (2, 2)  # kept template init
+    np.testing.assert_allclose(merged["bn"]["scale"], 1.0)
 
 
 def test_image_init_adapt_repeats_and_interpolates():

@@ -215,7 +215,12 @@ def test_kinetics_ssl_wiring_produces_distinct_views(tmp_path, monkeypatch):
 
 
 def test_time_diff_flows_through_decode(monkeypatch, tmp_path):
-    """decode(time_diff_prob=1) returns the (dt+255)/2 float frames."""
+    """decode(time_diff_prob=1) applies the (dt+255)/2 transform to the
+    RAW decoded window BEFORE temporal sampling (reference
+    decoder.py:630-648 augments the decoded video, then samples), so
+    differences are between consecutive raw frames, not sampled ones."""
+    import math
+
     import cv2
 
     from vtm.data import decoder
@@ -236,5 +241,22 @@ def test_time_diff_flows_through_decode(monkeypatch, tmp_path):
         str(vid), 2, 4, clip_idx=0, num_clips=1, time_diff_prob=1.0
     )
     assert plain.dtype == np.uint8 and auged.dtype == np.float32
-    ref, _ = T.augment_raw_frames(plain, time_diff_prob=1.0, rng=random.Random(9))
-    np.testing.assert_allclose(auged, ref, atol=1e-4)
+
+    # replicate decode's fast path: aug the raw window, THEN sample
+    fps, total = decoder._video_meta(str(vid))
+    clip_size = 2 * 4 / 30 * fps
+    start_idx, end_idx, _ = decoder.get_start_end_idx(total, clip_size, 0, 1)
+    first = int(math.floor(max(start_idx, 0)))
+    last = min(int(math.ceil(end_idx)), total - 1)
+    window, first = decoder.read_video_window_cv2(str(vid), first, last)
+    expect, applied = T.augment_raw_frames(window, time_diff_prob=1.0)
+    assert applied
+    index = np.linspace(start_idx, end_idx, 4)
+    index = np.clip(index, 0, total - 1).astype(np.int64) - first
+    index = np.clip(index, 0, expect.shape[0] - 1)
+    np.testing.assert_allclose(auged, expect[index], atol=1e-4)
+
+    # guard the ordering: aug-after-sampling would differ (consecutive
+    # sampled frames are 2 raw frames apart here)
+    after, _ = T.augment_raw_frames(plain, time_diff_prob=1.0)
+    assert not np.allclose(auged, after, atol=1e-2)

@@ -513,8 +513,14 @@ def train(cfg):
             # rotate the csv chunk each epoch (reference
             # tools/train_net.py:793-804): epochs walk disjoint
             # LOADER_CHUNK_SIZE slabs of the overall csv
-            num_chunks = math.ceil(
-                cfg.DATA.LOADER_CHUNK_OVERALL_SIZE / cfg.DATA.LOADER_CHUNK_SIZE
+            # guard OVERALL_SIZE left at 0 (the reference crashes with
+            # ZeroDivisionError at epoch 1 here; treat it as one chunk)
+            num_chunks = max(
+                math.ceil(
+                    cfg.DATA.LOADER_CHUNK_OVERALL_SIZE
+                    / cfg.DATA.LOADER_CHUNK_SIZE
+                ),
+                1,
             )
             skip_rows = cur_epoch % num_chunks * cfg.DATA.LOADER_CHUNK_SIZE
             logger.info(

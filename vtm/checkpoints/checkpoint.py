@@ -130,42 +130,44 @@ def clear_name_pattern_keys(sd, patterns):
     return sd
 
 
+def _unflatten_paths(leaves):
+    """Rebuild a nested dict from {tree_flatten_with_path path: leaf}."""
+    result = {}
+    for path, v in leaves.items():
+        node = result
+        keys = [str(getattr(p, "key", p)) for p in path]
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = v
+    return result
+
+
 def inflate_weights(converted, template):
     """Generic 2D->3D conv inflation (reference inflate_weight,
     checkpoint.py:152-190 / I3D bootstrapping): a 4-D (h, w, i, o)
     kernel matching a 5-D (t, h, w, i, o) template inflates by
-    repeating over t and dividing by t; equal shapes pass through;
-    anything else keeps the template init (the reference logs
-    "Unexpected" and drops). Returns a pytree shaped like ``template``
-    with converted/inflated leaves where available."""
+    repeating over t and dividing by t; everything else passes through
+    unchanged. Returns ONLY converted/inflated leaves (never template
+    leaves) so merge_into_template keeps the loaded/kept-init
+    accounting and its "keeping random init" warnings — mismatches
+    (the reference logs "Unexpected" and drops) surface there."""
     flat_t = jax.tree_util.tree_flatten_with_path(template)[0]
     flat_c = dict(jax.tree_util.tree_flatten_with_path(converted)[0])
-    out = []
-    for path, leaf in flat_t:
-        cand = flat_c.get(path)
-        name = "/".join(str(getattr(p, "key", p)) for p in path)
-        if cand is None:
-            out.append(leaf)
-            continue
+    shapes_t = {path: tuple(np.shape(leaf)) for path, leaf in flat_t}
+    out = {}
+    for path, cand in flat_c.items():
         cand = np.asarray(cand)
-        if cand.ndim == 4 and np.ndim(leaf) == 5 and cand.shape == tuple(
-            np.shape(leaf)
-        )[1:]:
-            t = np.shape(leaf)[0]
-            logger.info(
-                "Inflate %s: %s -> %s", name, cand.shape, np.shape(leaf)
-            )
-            out.append(np.repeat(cand[None], t, axis=0) / t)
-        elif cand.shape == tuple(np.shape(leaf)):
-            out.append(cand)
-        else:
-            logger.info(
-                "Unexpected %s: %s -|> %s", name, cand.shape, np.shape(leaf)
-            )
-            out.append(leaf)
-    return jax.tree_util.tree_unflatten(
-        jax.tree_util.tree_structure(template), out
-    )
+        tgt = shapes_t.get(path)
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if tgt is not None and cand.ndim == 4 and len(tgt) == 5 and (
+            cand.shape == tgt[1:]
+        ):
+            logger.info("Inflate %s: %s -> %s", name, cand.shape, tgt)
+            cand = np.repeat(cand[None], tgt[0], axis=0) / tgt[0]
+        elif tgt is not None and cand.shape != tgt:
+            logger.info("Unexpected %s: %s -|> %s", name, cand.shape, tgt)
+        out[path] = cand
+    return _unflatten_paths(out)
 
 
 def _interp_linear(arr: np.ndarray, new_len: int) -> np.ndarray:
@@ -222,14 +224,7 @@ def image_init_adapt(converted, template):
         else:
             out[path] = cand  # merge_into_template will warn/keep init
     # rebuild a converted-shaped dict (paths map to nested dict keys)
-    result = {}
-    for path, v in out.items():
-        node = result
-        keys = [str(getattr(p, "key", p)) for p in path]
-        for k in keys[:-1]:
-            node = node.setdefault(k, {})
-        node[keys[-1]] = v
-    return result
+    return _unflatten_paths(out)
 
 
 def merge_into_template(template, converted) -> tuple:

@@ -214,10 +214,15 @@ def decode(
         last = min(int(math.ceil(end_idx)), total - 1)
         window, first = read_video_window_cv2(path, first, last)
         if window is not None:
+            # raw-frame augs run on the decoded window BEFORE temporal
+            # sampling (reference decoder.py:643-648): the time
+            # difference is between consecutive RAW frames, which the
+            # sampling then subsamples
+            window = _aug(window)
             index = np.linspace(start_idx, end_idx, num_frames)
             index = np.clip(index, 0, total - 1).astype(np.int64) - first
             index = np.clip(index, 0, window.shape[0] - 1)
-            return _aug(window[index])
+            return window[index]
         # fall through to the full-read path on metadata mismatch
 
     frames, fps = read_video_cv2(path)
@@ -227,7 +232,8 @@ def decode(
     start_idx, end_idx, _ = get_start_end_idx(
         frames.shape[0], clip_size, clip_idx, num_clips, use_offset=use_offset
     )
-    return _aug(temporal_sampling(frames, start_idx, end_idx, num_frames))
+    # aug-before-sampling, as above (reference decoder.py:643-648)
+    return temporal_sampling(_aug(frames), start_idx, end_idx, num_frames)
 
 
 def decode_clips(
@@ -256,11 +262,19 @@ def decode_clips(
         frames.shape[0], [clip_size] * num_decode, -1, 1,
         min_delta=min_delta, max_delta=max_delta,
     )
-    clips = [temporal_sampling(frames, s, e, num_frames) for s, e, _ in windows]
     if time_diff_prob > 0.0 or gaussian_prob > 0.0:
-        # independent draws per decoded view (reference decoder.py:640-646)
-        clips = [
-            transform.augment_raw_frames(c, time_diff_prob, gaussian_prob)[0]
-            for c in clips
+        # independent draws per decoded view on the WHOLE raw video
+        # before sampling (reference decoder.py:630-648 clones the
+        # decoded video per view, augments it, then temporal-samples)
+        return [
+            temporal_sampling(
+                transform.augment_raw_frames(
+                    frames, time_diff_prob, gaussian_prob
+                )[0],
+                s,
+                e,
+                num_frames,
+            )
+            for s, e, _ in windows
         ]
-    return clips
+    return [temporal_sampling(frames, s, e, num_frames) for s, e, _ in windows]

@@ -260,3 +260,82 @@ def test_time_diff_flows_through_decode(monkeypatch, tmp_path):
     # sampled frames are 2 raw frames apart here)
     after, _ = T.augment_raw_frames(plain, time_diff_prob=1.0)
     assert not np.allclose(auged, after, atol=1e-2)
+
+
+def test_time_diff_with_randaugment_train_path(tmp_path):
+    """TIME_DIFF_PROB + AUG.AA_TYPE with SSL_COLOR_JITTER off: the
+    float time-difference clip must flow through RandAugment (the
+    reference's unconditional .float()/255 at kinetics.py:412-413
+    feeds [0,1] floats into the AA ToPILImage path)."""
+    import cv2
+
+    from vtm.config import get_cfg
+    from vtm.data.kinetics import Kinetics
+
+    vid_path = tmp_path / "v0.avi"
+    w = cv2.VideoWriter(
+        str(vid_path), cv2.VideoWriter_fourcc(*"MJPG"), 30, (64, 48)
+    )
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        w.write(rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8))
+    w.release()
+    (tmp_path / "train.csv").write_text(f"{vid_path} 1\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TRAIN_JITTER_SCALES = [32, 40]
+    cfg.DATA.TIME_DIFF_PROB = 1.0
+    cfg.AUG.ENABLE = True
+    cfg.AUG.AA_TYPE = "rand-m7-n4-mstd0.5-inc1"
+
+    random.seed(0)
+    item = Kinetics(cfg, "train")[0]
+    frames = np.asarray(item["frames"])
+    assert frames.shape == (4, 32, 32, 3)
+    assert frames.dtype == np.float32
+    assert np.isfinite(frames).all()
+
+
+def test_kinetics_unconditional_float_scale_matches_uint8_path(tmp_path):
+    """The unconditional /255 before the aug chain is value-preserving
+    for plain uint8 clips (no SSL/AA/time-diff): test-mode output must
+    equal tensor_normalize(uint8)'s result exactly."""
+    import cv2
+
+    from vtm.config import get_cfg
+    from vtm.data.kinetics import Kinetics
+
+    vid_path = tmp_path / "v0.avi"
+    w = cv2.VideoWriter(
+        str(vid_path), cv2.VideoWriter_fourcc(*"MJPG"), 30, (32, 32)
+    )
+    rng = np.random.default_rng(1)
+    for _ in range(40):
+        w.write(rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8))
+    w.release()
+    (tmp_path / "test.csv").write_text(f"{vid_path} 1\n")
+
+    cfg = get_cfg()
+    cfg.DATA.PATH_TO_DATA_DIR = str(tmp_path)
+    cfg.DATA.NUM_FRAMES = 4
+    cfg.DATA.SAMPLING_RATE = 2
+    cfg.DATA.TEST_CROP_SIZE = 32
+    # single-crop test scales the short side to TRAIN_JITTER_SCALES[0]
+    # — pin it to the video size so no interpolation occurs
+    cfg.DATA.TRAIN_JITTER_SCALES = [32, 32]
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+
+    item = Kinetics(cfg, "test")[0]
+    frames = np.asarray(item["frames"])
+    mean = np.asarray(cfg.DATA.MEAN, np.float32)
+    std = np.asarray(cfg.DATA.STD, np.float32)
+    # invert the normalization: recovered pixels must be exact /255
+    # multiples of integers (the unconditional float path kept them)
+    recovered = frames * std + mean
+    ints = recovered * 255.0
+    np.testing.assert_allclose(ints, np.round(ints), atol=1e-3)

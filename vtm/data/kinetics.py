@@ -225,13 +225,15 @@ class Kinetics:
             )
 
         def finish(clip):
-            # SSL color pipeline precedes RandAug (reference
-            # kinetics.py:413-427: /255 -> ssl jitter -> AA -> normalize).
-            # The jitter must see [0,1] floats: _clip_to_pil's
-            # *255-truncate then matches ToPILImage exactly, and raw-aug
-            # outputs (time difference in [0,255] float) don't saturate.
+            # Reference kinetics.py:412-427 converts EVERY clip to
+            # [0,1] float (.float()/255) before the aug chain — ssl
+            # jitter -> AA -> normalize. That unconditional /255 also
+            # puts raw-aug outputs (time difference, float [0,255])
+            # into AA's expected range; the PIL conversions'
+            # *255-truncate is an exact identity on uint8-origin
+            # values (ToPILImage semantics, verified over all 256).
+            clip = np.asarray(clip, np.float32) / 255.0
             if self.mode == "train" and cfg.DATA.SSL_COLOR_JITTER:
-                clip = np.asarray(clip, np.float32) / 255.0
                 clip = transform.color_jitter_video_ssl(
                     clip,
                     bri_con_sat=cfg.DATA.SSL_COLOR_BRI_CON_SAT,

@@ -103,6 +103,11 @@ def create_random_augment(aa_type: str, seed: Optional[int] = None):
             chosen.append((name, level))
         out = []
         for f in frames:
+            if f.dtype != np.uint8:
+                # [0,1] float frames (the reference AA path feeds
+                # .float()/255 clips through ToPILImage: mul(255),
+                # truncate — kinetics.py:413, _frame_to_list_img)
+                f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
             img = Image.fromarray(f)
             for name, level in chosen:
                 img = _ops(level, inc)[name](img)

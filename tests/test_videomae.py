@@ -175,6 +175,69 @@ def test_merge_modes_run_and_shrink():
         assert np.isfinite(np.asarray(logits)).all(), policy.mode
 
 
+@pytest.mark.parametrize(
+    "mode,threshold",
+    [("drop", 0.0), ("hybrid", 0.0), ("hybrid", 0.8)],
+)
+def test_mode_forward_matches_torch_oracle(ref_merge, mode, threshold):
+    """In-model numeric parity for the ablation modes (reference
+    videomae_{drop,hybrid}, tome/patch/videomae.py:103-151): drop must
+    discard tokens and RESET size to ones; hybrid must zero
+    sub-threshold destination slots before the weighted merge-sum. The
+    merge-mode equivalent lives in test_merged_forward_matches_torch_oracle;
+    modes here were previously only smoke-tested in-model."""
+    import torch  # noqa: F401  (oracle runs under torch)
+
+    from torch_oracles import videomae_tome_forward
+
+    cfg = dict(TINY, img_size=64)  # 32 tokens -> meaningful r=6 merges
+    hf_kwargs = dict(
+        image_size=cfg["img_size"],
+        patch_size=cfg["patch_size"],
+        num_frames=cfg["num_frames"],
+        tubelet_size=cfg["tubelet_size"],
+        hidden_size=cfg["embed_dim"],
+        num_hidden_layers=cfg["depth"],
+        num_attention_heads=cfg["num_heads"],
+        intermediate_size=int(cfg["embed_dim"] * cfg["mlp_ratio"]),
+        num_labels=7,
+        use_mean_pooling=True,
+    )
+    torch = pytest.importorskip("torch")
+    from transformers import VideoMAEConfig as HFConfig
+    from transformers import VideoMAEForVideoClassification
+
+    torch.manual_seed(3)
+    hf = VideoMAEForVideoClassification(HFConfig(**hf_kwargs)).eval()
+    sd = dict(hf.state_dict())
+    params = convert_videomae(sd, depth=cfg["depth"])
+
+    policy = MergePolicy(
+        rs=(6, 6), mode=mode, threshold=threshold, prop_attn=True
+    )
+    model = VideoMAE(config=VideoMAEConfig(num_classes=7, **cfg), policy=policy)
+
+    rng = np.random.default_rng(4)
+    video = rng.standard_normal(
+        (2, cfg["num_frames"], cfg["img_size"], cfg["img_size"], 3)
+    ).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+
+    ref_logits, n_final = videomae_tome_forward(
+        sd, video, rs=[6, 6], ref_merge=ref_merge,
+        depth=cfg["depth"], heads=cfg["num_heads"],
+        embed_dim=cfg["embed_dim"], tubelet=cfg["tubelet_size"],
+        patch=cfg["patch_size"], prop_attn=True,
+        mode=mode, threshold=threshold,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-3, atol=2e-3)
+    assert int(state.size.shape[1]) == n_final == 32 - 12
+    if mode == "drop":
+        np.testing.assert_array_equal(np.asarray(state.size), 1.0)
+
+
 def test_trace_source_shape():
     policy = MergePolicy(rs=(1, 1), mode="merge", trace_source=True)
     model = VideoMAE(config=VideoMAEConfig(num_classes=3, **TINY), policy=policy)

@@ -99,6 +99,68 @@ def test_merged_forward_matches_torch_oracle(ref_merge):
     np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize(
+    "mode,threshold",
+    [("drop", 0.0), ("hybrid", 0.0), ("hybrid", 0.8)],
+)
+def test_mode_forward_matches_torch_oracle(ref_merge, mode, threshold):
+    """In-model ablation-mode parity with CLS protection (reference
+    vivit_{drop,hybrid}, tome/patch/vivit.py:152-204): drop's
+    CLS-protected undropped set sorts CLS back to the front and resets
+    size to ones; hybrid zeroes sub-threshold destinations under the
+    full-column prop-attn bias."""
+    from torch_oracles import vivit_tome_forward
+
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, image_size=64)  # 2*16+1 = 33 tokens
+    torch = pytest.importorskip("torch")
+    from transformers import VivitConfig as HFConfig
+    from transformers import VivitForVideoClassification
+
+    torch.manual_seed(5)
+    hf = VivitForVideoClassification(
+        HFConfig(
+            image_size=cfg.image_size,
+            num_frames=cfg.num_frames,
+            tubelet_size=list(cfg.tubelet_size),
+            hidden_size=cfg.hidden_size,
+            num_hidden_layers=cfg.num_hidden_layers,
+            num_attention_heads=cfg.num_attention_heads,
+            intermediate_size=cfg.intermediate_size,
+            num_labels=cfg.num_classes,
+        )
+    ).eval()
+    sd = dict(hf.state_dict())
+    params = convert_vivit(sd, depth=cfg.num_hidden_layers)
+    policy = MergePolicy(
+        rs=(5, 5), mode=mode, threshold=threshold,
+        prop_attn=True, class_token=True,
+    )
+    model = ViViT(config=cfg, policy=policy)
+
+    rng = np.random.default_rng(9)
+    video = rng.standard_normal(
+        (2, cfg.num_frames, cfg.image_size, cfg.image_size, 3)
+    ).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+
+    ref_logits, ref_tokens = vivit_tome_forward(
+        sd, video, rs=[5, 5], ref_merge=ref_merge,
+        depth=cfg.num_hidden_layers, heads=cfg.num_attention_heads,
+        embed_dim=cfg.hidden_size, tubelet_size=cfg.tubelet_size,
+        mode=mode, threshold=threshold,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-3, atol=2e-3)
+    assert int(state.size.shape[1]) == ref_tokens == 33 - 10
+    sizes = np.asarray(state.size)
+    assert sizes[:, 0].max() == 1.0  # CLS never reduced
+    if mode == "drop":
+        np.testing.assert_array_equal(sizes, 1.0)
+
+
 def test_merged_cls_protected():
     """With merging on, the CLS token must never be merged: sizes stay 1
     at position 0 (reference: merge.py:59-62,71-73)."""

@@ -14,8 +14,36 @@ from __future__ import annotations
 import numpy as np
 
 
+def _reduce(ref_merge, metric, x, size, r, *, class_token, mode, threshold):
+    """The reference per-mode reduction step (tome/patch/videomae.py:
+    80-151 — same shape in every patch): merge/hybrid go through
+    merge_wavg; drop discards tokens and RESETS size to ones."""
+    import torch
+
+    if r <= 0:
+        return x, size
+    if mode == "drop":
+        dfn = ref_merge.bipartite_soft_matching_drop(
+            metric, r, class_token=class_token
+        )
+        x = dfn(x)
+        size = torch.ones((x.size(0), x.size(1), 1))
+    elif mode == "hybrid":
+        mfn, _ = ref_merge.bipartite_soft_matching_hybrid(
+            metric, r, class_token, False, mode, threshold
+        )
+        x, size = ref_merge.merge_wavg(mfn, x, size)
+    else:
+        mfn, _ = ref_merge.bipartite_soft_matching(
+            metric, r, class_token=class_token
+        )
+        x, size = ref_merge.merge_wavg(mfn, x, size)
+    return x, size
+
+
 def videomae_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_dim,
-                          tubelet, patch, prop_attn=True, eps=1e-12):
+                          tubelet, patch, prop_attn=True, eps=1e-12,
+                          mode="merge", threshold=0.0):
     """Reference tome/patch/videomae.py:13-77 semantics from an HF
     VideoMAEForVideoClassification state dict. video: [B,T,H,W,3] numpy."""
     import torch
@@ -58,9 +86,8 @@ def videomae_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_dim,
                            t(f"{pre}.attention.output.dense.bias"))
             x = x + ctx
             metric = k.mean(1)
-            if rs[i] > 0:
-                mfn, _ = ref_merge.bipartite_soft_matching(metric, rs[i], class_token=False)
-                x, size = ref_merge.merge_wavg(mfn, x, size)
+            x, size = _reduce(ref_merge, metric, x, size, rs[i],
+                              class_token=False, mode=mode, threshold=threshold)
             xn2 = F.layer_norm(
                 x, (embed_dim,),
                 t(f"{pre}.layernorm_after.weight"), t(f"{pre}.layernorm_after.bias"),
@@ -74,7 +101,8 @@ def videomae_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_dim,
 
 
 def vivit_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_dim,
-                       tubelet_size, prop_attn=True, eps=1e-6):
+                       tubelet_size, prop_attn=True, eps=1e-6,
+                       mode="merge", threshold=0.0):
     """Reference tome/patch/vivit.py:17-130 semantics from an HF
     VivitForVideoClassification state dict: CLS-protected merging after
     the attention residual, full-column proportional-attention bias,
@@ -122,9 +150,8 @@ def vivit_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_dim,
                            t(f"{pre}.attention.output.dense.bias"))
             x = ctx + x
             metric = k.mean(1)
-            if rs[i] > 0:
-                mfn, _ = ref_merge.bipartite_soft_matching(metric, rs[i], class_token=True)
-                x, size = ref_merge.merge_wavg(mfn, x, size)
+            x, size = _reduce(ref_merge, metric, x, size, rs[i],
+                              class_token=True, mode=mode, threshold=threshold)
             xn2 = F.layer_norm(
                 x, (embed_dim,),
                 t(f"{pre}.layernorm_after.weight"), t(f"{pre}.layernorm_after.bias"),

@@ -37,7 +37,8 @@ def _init(policy=MergePolicy()):
     return model, params
 
 
-def _torch_oracle(params, video, ref_merge=None, rs=(0, 0), prop_attn=True, cfg=None):
+def _torch_oracle(params, video, ref_merge=None, rs=(0, 0), prop_attn=True, cfg=None,
+                  mode="merge", threshold=0.0):
     import torch
     import torch.nn.functional as TF
 
@@ -130,8 +131,12 @@ def _torch_oracle(params, video, ref_merge=None, rs=(0, 0), prop_attn=True, cfg=
                 )
                 cls_tok, body = x[:, :1, :], x[:, 1:, :]
                 folded = body.reshape(B, s, f, d).permute(0, 2, 1, 3).reshape(B * f, s, d)
-                mfn, _ = ref_merge.bipartite_soft_matching(metric, r)
-                folded, size = ref_merge.merge_wavg(mfn, folded, size)
+                from torch_oracles import _reduce
+
+                folded, size = _reduce(
+                    ref_merge, metric, folded, size, r,
+                    class_token=False, mode=mode, threshold=threshold,
+                )
                 s2 = folded.shape[1]
                 body = folded.reshape(B, f, s2, d).permute(0, 2, 1, 3).reshape(
                     B, s2 * f, d
@@ -174,6 +179,32 @@ def test_merged_matches_torch_oracle(ref_merge):
     np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
     # per-pseudo-frame sizes [(B*F), S - 2, 1]
     assert state.size.shape == (2 * TINY.temporal_resolution, 4 - 2, 1)
+
+
+@pytest.mark.parametrize(
+    "mode,threshold",
+    [("drop", 0.0), ("hybrid", 0.0), ("hybrid", 0.8)],
+)
+def test_mode_forward_matches_torch_oracle(ref_merge, mode, threshold):
+    """In-model ablation-mode parity on the '(b f) s' fold (reference
+    motionformer_{drop,hybrid}, tome/patch/motionformer.py:171-227):
+    class_token=False on the per-frame matcher; drop resets the folded
+    size tensor to ones."""
+    policy = MergePolicy(rs=(1, 1), mode=mode, threshold=threshold, prop_attn=True)
+    model, params = _init(policy)
+    video = np.random.default_rng(17).standard_normal(
+        (2, T_IN, 32, 32, 3)
+    ).astype(np.float32)
+    ref = _torch_oracle(
+        params, video, ref_merge=ref_merge, rs=(1, 1),
+        mode=mode, threshold=threshold,
+    )
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=2e-3, atol=2e-3)
+    assert state.size.shape == (2 * TINY.temporal_resolution, 4 - 2, 1)
+    if mode == "drop":
+        np.testing.assert_array_equal(np.asarray(state.size), 1.0)
 
 
 def test_softmax_applied_at_inference():

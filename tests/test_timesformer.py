@@ -104,6 +104,67 @@ def test_merged_forward_matches_torch_oracle(ref_merge):
     np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize(
+    "mode,threshold",
+    [("drop", 0.0), ("hybrid", 0.0), ("hybrid", 0.8)],
+)
+def test_mode_forward_matches_torch_oracle(ref_merge, mode, threshold):
+    """In-model ablation-mode parity on the per-frame fold (reference
+    timesformer_{drop,hybrid}, tome/patch/timesformer.py:112-167):
+    class_token=False on the matcher (CLS is stripped before the
+    '(b t) p' rearrange, not matcher-protected), drop resets the
+    per-frame size tensor to ones."""
+    import dataclasses
+
+    from torch_oracles import timesformer_tome_forward
+
+    cfg = dataclasses.replace(TINY, img_size=64)  # P=16 per frame
+    torch = pytest.importorskip("torch")
+    from transformers import TimesformerConfig as HFConfig
+    from transformers import TimesformerForVideoClassification
+
+    torch.manual_seed(7)
+    hf = TimesformerForVideoClassification(
+        HFConfig(
+            image_size=cfg.img_size,
+            patch_size=cfg.patch_size,
+            num_frames=cfg.num_frames,
+            hidden_size=cfg.embed_dim,
+            num_hidden_layers=cfg.depth,
+            num_attention_heads=cfg.num_heads,
+            intermediate_size=int(cfg.embed_dim * cfg.mlp_ratio),
+            num_labels=cfg.num_classes,
+        )
+    ).eval()
+    sd = dict(hf.state_dict())
+    params = convert_timesformer(
+        sd, depth=cfg.depth, num_frames=cfg.num_frames,
+        spatial_tokens=cfg.spatial_tokens,
+    )
+    policy = MergePolicy(rs=(3, 3), mode=mode, threshold=threshold, prop_attn=True)
+    model = TimeSformer(config=cfg, policy=policy)
+
+    rng = np.random.default_rng(13)
+    video = rng.standard_normal(
+        (2, cfg.num_frames, cfg.img_size, cfg.img_size, 3)
+    ).astype(np.float32)
+
+    with jax.default_matmul_precision("highest"):
+        got, state = model.apply({"params": params}, jnp.asarray(video))
+
+    ref_logits, ref_tokens = timesformer_tome_forward(
+        sd, video, rs=[3, 3], ref_merge=ref_merge,
+        depth=cfg.depth, heads=cfg.num_heads, embed_dim=cfg.embed_dim,
+        patch=cfg.patch_size, mode=mode, threshold=threshold,
+    )
+    # per-frame P went 16 -> 10; sequence = 1 + P*T
+    assert ref_tokens == 1 + 10 * cfg.num_frames
+    assert state.size.shape == (2 * cfg.num_frames, 10, 1)
+    np.testing.assert_allclose(np.asarray(got), ref_logits, rtol=2e-3, atol=2e-3)
+    if mode == "drop":
+        np.testing.assert_array_equal(np.asarray(state.size), 1.0)
+
+
 def test_merged_per_frame_shrinks():
     policy = MergePolicy(rs=(1, 1), mode="merge", prop_attn=True)
     model = TimeSformer(config=TINY, policy=policy)

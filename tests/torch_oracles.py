@@ -166,7 +166,8 @@ def vivit_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_dim,
 
 
 def timesformer_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_dim,
-                             patch, prop_attn=True, eps=1e-6):
+                             patch, prop_attn=True, eps=1e-6,
+                             mode="merge", threshold=0.0):
     """Reference tome/patch/timesformer.py:12-109 semantics from an HF
     TimesformerForVideoClassification state dict: divided space-time
     attention, CLS detached per frame (strip + frame-average), the
@@ -245,8 +246,10 @@ def timesformer_tome_forward(sd, video, rs, ref_merge, *, depth, heads, embed_di
             if rs[i] > 0:
                 clst, merged = x[:, 0:1, :], x[:, 1:, :]
                 merged = merged.reshape(B, p_now, T, embed_dim).permute(0, 2, 1, 3).reshape(B * T, p_now, embed_dim)
-                mfn, _ = ref_merge.bipartite_soft_matching(metric, rs[i], class_token=False)
-                merged, size = ref_merge.merge_wavg(mfn, merged, size)
+                merged, size = _reduce(
+                    ref_merge, metric, merged, size, rs[i],
+                    class_token=False, mode=mode, threshold=threshold,
+                )
                 p_new = merged.shape[1]
                 merged = merged.reshape(B, T, p_new, embed_dim).permute(0, 2, 1, 3).reshape(B, p_new * T, embed_dim)
                 x = torch.cat([clst, merged], dim=1)

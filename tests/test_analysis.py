@@ -118,3 +118,48 @@ def test_create_mini_datasets_kinetics(tmp_path):
     mini = (tmp_path / "Mini-k400" / "test.csv").read_text().strip().splitlines()
     assert len(mini) == 3  # one clip per class
     assert sorted(int(l.split()[1]) for l in mini) == [0, 1, 2]
+
+
+def test_epic_splicing_labels_from_records():
+    """Regression: SplicedDataset same_class/kl_similarity over a REAL
+    Epickitchens instance — labels come from the _verb_labels /
+    _noun_labels properties derived from the video records (reference
+    epickitchens.py:83-91 builds the same lists), not a nonexistent
+    _labels attribute."""
+    import pandas as pd
+
+    from vtm.analysis.splicing import SplicedDataset
+    from vtm.data.epickitchens import Epickitchens, EpicKitchensVideoRecord
+
+    rows = []
+    for i, (verb, noun) in enumerate([(3, 7), (3, 9), (5, 7), (3, 7)]):
+        rows.append((f"P01_101_{i}", pd.Series({
+            "participant_id": "P01",
+            "video_id": "P01_101",
+            "start_timestamp": "00:00:01.00",
+            "stop_timestamp": "00:00:03.00",
+            "verb_class": verb,
+            "noun_class": noun,
+        })))
+    ds = Epickitchens.__new__(Epickitchens)
+    ds._video_records = [EpicKitchensVideoRecord(t) for t in rows]
+
+    assert ds._verb_labels == [3, 3, 5, 3]
+    assert ds._noun_labels == [7, 9, 7, 7]
+
+    spliced = SplicedDataset(
+        ds, "same_class", patch_depth=2, num_to_replace=1,
+        match_type="verb", seed=0,
+    )
+    label = ds._video_records[0].label
+    for _ in range(8):
+        donor = spliced._donor_index(0, label)
+        assert ds._verb_labels[donor] == 3
+
+    spliced_n = SplicedDataset(
+        ds, "same_class", patch_depth=2, num_to_replace=1,
+        match_type="noun", seed=0,
+    )
+    for _ in range(8):
+        donor = spliced_n._donor_index(0, label)
+        assert ds._noun_labels[donor] == 7

@@ -177,3 +177,53 @@ def test_imagenet_val_crop_matches_reference_recipe(tmp_path):
     ds = Imagenet(cfg, "val")
     item = ds[0]
     assert item["frames"].shape == (1, 32, 32, 3)
+
+
+def test_charades_multilabel_test_net_end_to_end(tmp_path):
+    """tools/test_net.py on charades with DATA.MULTI_LABEL: the meter
+    takes the multi-hot [C] labels and finalizes a mAP (reference
+    TestMeter multi_label path, meters.py:295-300, 412-419). Before the
+    multi_label port this crashed in update_stats (int() on a vector)."""
+    import json
+
+    from vtm.config import assert_and_infer_cfg
+
+    _write_charades_tree(tmp_path, num_videos=3, frames_per_video=30)
+    d = {
+        "video_size": [4, 32, 32],
+        "tubelet_size": [2, 16, 16],
+        "num_channels": 3,
+        "hidden_size": 32,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 2,
+        "intermediate_size": 64,
+        "hidden_act": "gelu_fast",
+        "hidden_dropout_prob": 0.0,
+        "attention_probs_dropout_prob": 0.0,
+        "initializer_range": 0.02,
+        "layer_norm_eps": 1e-6,
+        "qkv_bias": True,
+    }
+    p = tmp_path / "vivit.json"
+    p.write_text(json.dumps(d))
+
+    cfg = _charades_cfg(tmp_path)
+    cfg.MODEL.MODEL_NAME = "ViViT"
+    cfg.VIVIT.CONFIG_PATH = str(p)
+    cfg.DATA.MULTI_LABEL = True
+    cfg.TEST.DATASET = "charades"
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.TPU.COMPUTE_DTYPE = "float32"
+    cfg.DATA_LOADER.NUM_WORKERS = 0
+    cfg.OUTPUT_DIR = str(tmp_path)
+    cfg = assert_and_infer_cfg(cfg)
+
+    from tools.test_net import test as run_test
+
+    results = run_test(cfg)
+    stats = results[0][1]
+    assert "map" in stats
+    assert 0.0 <= float(stats["map"]) <= 100.0
+    assert stats["top1_acc"] == stats["map"]

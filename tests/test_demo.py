@@ -68,3 +68,26 @@ def test_demo_threaded(tmp_path):
     ])
     assert_and_infer_cfg(cfg)
     assert run_demo(cfg) >= 1
+
+
+def test_demo_bn_conv_family(tmp_path):
+    """Regression: the demo Predictor must thread batch_stats — a bare
+    {'params'} apply crashes the BN conv families
+    (ScopeCollectionNotFound on the running stats)."""
+    from test_convnet import tiny_cfg
+    from tools.demo_net import run_demo
+
+    src = tmp_path / "in.mp4"
+    _write_video(src)
+    cfg = tiny_cfg("ResNet", "i3d")
+    cfg.merge_from_list([
+        "DEMO.ENABLE", "True",
+        "DEMO.INPUT_VIDEO", str(src),
+        "DEMO.OUTPUT_FILE", str(tmp_path / "out.mp4"),
+        "DATA.SAMPLING_RATE", "2",
+        "TPU.COMPUTE_DTYPE", "float32",
+        "OUTPUT_DIR", str(tmp_path),
+    ])
+    assert_and_infer_cfg(cfg)
+    n = run_demo(cfg)
+    assert n >= 1

@@ -129,6 +129,77 @@ def test_test_meter_protocol_parity(ref_meters, ensemble):
     assert got["top5_acc"] == ref.stats["top5_acc"]
 
 
+@pytest.mark.parametrize("ensemble", ["max"])
+def test_test_meter_multi_label_parity(ref_meters, ensemble):
+    """Multi-label (charades) protocol: identical multi-hot streams ->
+    identical -1e10-floored ensembles and identical mAP (reference
+    meters.py:295-300, 320-359, 412-419).
+
+    Only "max" is bit-comparable: the reference's float32 "sum" path
+    ABSORBS every prediction into the -1e10 floor (float32 eps at 1e10
+    is ~1e3), degenerating the mAP to that of constant scores — a
+    reference defect, deviated from deliberately (see
+    test_test_meter_multi_label_sum_preserves_ranking)."""
+    from vtm.eval.meters import TestMeter
+
+    videos, clips, ncls = 5, 4, 9
+    rng = np.random.default_rng(3)
+    preds = rng.random((videos * clips, ncls)).astype(np.float32)
+    labels_v = (rng.random((videos, ncls)) < 0.3).astype(np.float32)
+    labels_v[:, -1] = 0.0  # a class with no positives (get_map drops it)
+    clip_ids = np.arange(videos * clips)
+    labels = labels_v[clip_ids // clips]
+    order = rng.permutation(videos * clips)
+
+    ours = TestMeter(
+        videos, clips, ncls, 1, ensemble, cfg=_ref_cfg_stub(), multi_label=True
+    )
+    ref = ref_meters.TestMeter(
+        videos, _ref_cfg_stub(), clips, ncls, 1,
+        multi_label=True, ensemble_method=ensemble,
+    )
+    for lo in range(0, videos * clips, 4):
+        sel = order[lo : lo + 4]
+        ours.update_stats(preds[sel], labels[sel], clip_ids[sel])
+        ref.update_stats(
+            torch.from_numpy(preds[sel]),
+            torch.from_numpy(labels[sel]),
+            torch.from_numpy(clip_ids[sel]),
+        )
+    got = ours.finalize_metrics()
+    ref.finalize_metrics()
+    np.testing.assert_allclose(
+        ours.video_preds, ref.video_preds.numpy(), rtol=1e-5, atol=1e-2
+    )
+    assert got["map"] == ref.stats["map"]
+    assert got["top1_acc"] == ref.stats["top1_acc"]
+
+
+def test_test_meter_multi_label_sum_preserves_ranking():
+    """Deliberate deviation from the reference: our float64 "sum"
+    ensemble keeps the clip predictions on top of the -1e10 floor (the
+    floor is the same constant for every fully-counted video, so the
+    mAP equals that of the plain summed predictions). The reference's
+    float32 tensor absorbs them entirely."""
+    from vtm.eval.meters import TestMeter, get_map
+
+    videos, clips, ncls = 5, 4, 9
+    rng = np.random.default_rng(4)
+    preds = rng.random((videos * clips, ncls)).astype(np.float32)
+    labels_v = (rng.random((videos, ncls)) < 0.3).astype(np.float32)
+    labels_v[0, 0] = 1.0  # ensure at least one positive column
+    clip_ids = np.arange(videos * clips)
+
+    meter = TestMeter(
+        videos, clips, ncls, 1, "sum", cfg=_ref_cfg_stub(), multi_label=True
+    )
+    meter.update_stats(preds, labels_v[clip_ids // clips], clip_ids)
+    got = meter.finalize_metrics()
+    plain = preds.astype(np.float64).reshape(videos, clips, ncls).sum(axis=1)
+    expect = get_map(plain, labels_v.astype(np.float64))
+    assert got["map"] == f"{expect * 100.0:.2f}"
+
+
 def test_epic_meter_protocol_parity(ref_meters):
     """EPIC verb/noun twin-stream: identical triples -> identical
     finalized accuracies (reference EPICTestMeter:1344-1508)."""

@@ -185,6 +185,7 @@ def test(cfg):
                 len(loader),
                 cfg.DATA.ENSEMBLE_METHOD,
                 cfg=cfg,
+                multi_label=cfg.DATA.MULTI_LABEL,
             )
         # every device batch must be equal: pad to a fixed size that is
         # a multiple of the mesh (keeps one compiled shape per run)

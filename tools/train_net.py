@@ -183,6 +183,10 @@ def train_epoch(
         if multi_head:
             accs = _epic_accuracies(logits, batch["label"])
             meter.update_stats(accs, (float(aux[0]), float(aux[1]), loss), lr, mb)
+        elif cfg.DATA.MULTI_LABEL:
+            # charades: loss only, epoch metric is the val mAP
+            # (reference train_net.py:286-293)
+            meter.update_stats(None, None, loss, lr, mb)
         else:
             top1_err, top5_err = topk_errors(
                 np.asarray(logits), np.asarray(batch["label"]), (1, 5)
@@ -214,6 +218,12 @@ def eval_epoch(loader, eval_step, params, meter, cur_epoch, cfg, multi_head,
         if multi_head:
             trimmed = (np.asarray(logits[0])[:n_valid], np.asarray(logits[1])[:n_valid])
             meter.update_stats(_epic_accuracies(trimmed, batch["label"]), n_valid)
+        elif cfg.DATA.MULTI_LABEL:
+            # gather predictions; the epoch metric is mAP
+            # (reference train_net.py:508-510, 544)
+            meter.update_predictions(
+                np.asarray(logits)[:n_valid], np.asarray(batch["label"])
+            )
         else:
             top1_err, top5_err = topk_errors(
                 np.asarray(logits)[:n_valid], np.asarray(batch["label"]), (1, 5)

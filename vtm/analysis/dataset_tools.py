@@ -23,6 +23,7 @@ import subprocess
 
 import numpy as np
 
+from vtm.eval.metrics import softmax
 from vtm.utils.logging import get_logger
 
 logger = get_logger(__name__)
@@ -125,7 +126,7 @@ def cache_model_probs(cfg):
     bundle = load_test_checkpoint(cfg, bundle)
     mesh = make_mesh()
     params = replicate(mesh, bundle.params)
-    eval_step = make_eval_step(bundle.module, mesh)
+    eval_step = make_eval_step(bundle.module, mesh, batch_stats=bundle.batch_stats)
     loader = construct_loader(cfg, "test")
     n_dev = mesh.devices.size
     padded_bs = -(-cfg.TEST.BATCH_SIZE // n_dev) * n_dev
@@ -136,10 +137,10 @@ def cache_model_probs(cfg):
         frames, n_valid = pad_to_multiple(batch["frames"], padded_bs)
         logits = eval_step(params, jnp.asarray(frames))
         if is_epic:
-            verb_list.append(_softmax(np.asarray(logits[0])[:n_valid]))
-            noun_list.append(_softmax(np.asarray(logits[1])[:n_valid]))
+            verb_list.append(softmax(np.asarray(logits[0])[:n_valid]))
+            noun_list.append(softmax(np.asarray(logits[1])[:n_valid]))
         else:
-            prob_list.append(_softmax(np.asarray(logits)[:n_valid]))
+            prob_list.append(softmax(np.asarray(logits)[:n_valid]))
 
     os.makedirs(cfg.DATASET_UTILS.DISTRIBUTION_PATH, exist_ok=True)
     if is_epic:
@@ -151,12 +152,6 @@ def cache_model_probs(cfg):
     else:
         np.savez(_dist_path(cfg), probs=np.concatenate(prob_list))
     logger.info("cached distributions -> %s", _dist_path(cfg))
-
-
-def _softmax(x: np.ndarray) -> np.ndarray:
-    x = x - x.max(axis=-1, keepdims=True)
-    e = np.exp(x)
-    return e / e.sum(axis=-1, keepdims=True)
 
 
 # ------------------------------------------------------------ KL matrices

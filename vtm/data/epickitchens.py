@@ -163,6 +163,16 @@ class Epickitchens:
         assert self._video_records, "no EPIC-KITCHENS annotations found"
         logger.info("EPIC-KITCHENS %s: %d clips", self.mode, len(self._video_records))
 
+    @property
+    def _verb_labels(self):
+        """Per-clip verb ids (reference epickitchens.py:83-91 builds the
+        same lists; the splicing analysis datasets index them)."""
+        return [r.label["verb"] for r in self._video_records]
+
+    @property
+    def _noun_labels(self):
+        return [r.label["noun"] for r in self._video_records]
+
     def __len__(self):
         return len(self._video_records)
 

@@ -22,6 +22,25 @@ from vtm.utils.timer import Timer
 logger = get_logger(__name__)
 
 
+def get_map(preds: np.ndarray, labels: np.ndarray) -> float:
+    """Multi-label mAP (reference meters.py:874-900): classes with no
+    positive example anywhere are dropped, then macro-averaged
+    average-precision over the rest."""
+    from sklearn.metrics import average_precision_score
+
+    keep = ~np.all(labels == 0, axis=0)
+    preds, labels = preds[:, keep], labels[:, keep]
+    try:
+        aps = average_precision_score(labels, preds, average=None)
+    except ValueError:
+        logger.warning(
+            "Average precision requires a sufficient number of samples; "
+            "returning 0"
+        )
+        aps = np.array([0.0])
+    return float(np.mean(aps))
+
+
 class TestMeter:
     def __init__(
         self,
@@ -31,13 +50,24 @@ class TestMeter:
         overall_iters: int,
         multi_view_ensemble_method: str = "sum",
         cfg=None,
+        multi_label: bool = False,
     ):
         self.cfg = cfg
         self.num_clips = num_clips
         self.overall_iters = overall_iters
         self.ensemble_method = multi_view_ensemble_method
+        self.multi_label = multi_label
         self.video_preds = np.zeros((num_videos, num_cls), dtype=np.float64)
-        self.video_labels = np.zeros((num_videos,), dtype=np.int64)
+        if multi_label:
+            # reference meters.py:295-296: a -1e10 floor so "max"
+            # ensembling starts below any real logit (constant per video,
+            # rank-invariant for the mAP under "sum")
+            self.video_preds -= 1e10
+        self.video_labels = (
+            np.zeros((num_videos, num_cls), dtype=np.float64)
+            if multi_label
+            else np.zeros((num_videos,), dtype=np.int64)
+        )
         self.clip_count = np.zeros((num_videos,), dtype=np.int64)
         self.iter_timer = Timer()
         self.data_timer = Timer()
@@ -46,17 +76,25 @@ class TestMeter:
 
     def reset(self):
         self.video_preds[:] = 0
+        if self.multi_label:
+            self.video_preds -= 1e10
         self.video_labels[:] = 0
         self.clip_count[:] = 0
 
     def update_stats(self, preds: np.ndarray, labels: np.ndarray, clip_ids: np.ndarray):
         """preds [N, C]; clip_ids are global clip indices — video index
-        = clip_id // num_clips (reference meters.py:324-359)."""
+        = clip_id // num_clips (reference meters.py:324-359). Multi-label
+        labels are [N, C] multi-hot vectors (charades)."""
         for i in range(preds.shape[0]):
             vid_id = int(clip_ids[i]) // self.num_clips
-            if self.clip_count[vid_id] > 0:
-                assert self.video_labels[vid_id] == int(labels[i])
-            self.video_labels[vid_id] = int(labels[i])
+            if self.multi_label:
+                if self.video_labels[vid_id].sum() > 0:
+                    assert np.array_equal(self.video_labels[vid_id], labels[i])
+                self.video_labels[vid_id] = labels[i]
+            else:
+                if self.clip_count[vid_id] > 0:
+                    assert self.video_labels[vid_id] == int(labels[i])
+                self.video_labels[vid_id] = int(labels[i])
             if self.ensemble_method == "sum":
                 self.video_preds[vid_id] += preds[i]
             elif self.ensemble_method == "max":
@@ -99,10 +137,19 @@ class TestMeter:
                 self.num_clips,
             )
         stats = {"split": "test_final"}
-        num_topks = metrics.topks_correct(self.video_preds, self.video_labels, ks)
-        topks = [x / self.video_preds.shape[0] * 100.0 for x in num_topks]
-        for k, topk in zip(ks, topks):
-            stats[f"top{k}_acc"] = f"{topk:.2f}"
+        if self.multi_label:
+            # reference meters.py:412-419: mAP as the metric, reported
+            # under map AND top1/top5 keys
+            mean_ap = get_map(self.video_preds, self.video_labels)
+            map_str = f"{mean_ap * 100.0:.2f}"
+            stats["map"] = map_str
+            stats["top1_acc"] = map_str
+            stats["top5_acc"] = map_str
+        else:
+            num_topks = metrics.topks_correct(self.video_preds, self.video_labels, ks)
+            topks = [x / self.video_preds.shape[0] * 100.0 for x in num_topks]
+            for k, topk in zip(ks, topks):
+                stats[f"top{k}_acc"] = f"{topk:.2f}"
         if self.cfg is not None and self.cfg.TEST.CLIP_LENGTH_HISTOGRAM:
             self._write_length_histogram()
         log_json_stats(stats, logger)
@@ -158,8 +205,12 @@ class EPICTestMeter:
         self.stats: Dict[str, object] = {}
 
     def reset(self):
+        # reference meters.py:1396-1404 also zeroes labels and metadata
         self.verb_preds[:] = 0
         self.noun_preds[:] = 0
+        self.verb_labels[:] = 0
+        self.noun_labels[:] = 0
+        self.metadata[:] = None
         self.clip_count[:] = 0
 
     def update_stats(self, preds, labels, metadata, clip_ids):
@@ -275,8 +326,12 @@ class TrainMeter:
         self.loss.add_value(loss)
         self.lr = lr
         self.loss_total += loss * mb_size
-        self.num_top1_mis += top1_err * mb_size
-        self.num_top5_mis += top5_err * mb_size
+        if top1_err is not None:
+            # multi-label (charades) training tracks loss only
+            # (reference train_net.py:286-293 passes no errors)
+            self.num_top1_mis += top1_err * mb_size
+            self.num_top5_mis += top5_err * mb_size
+            self.has_errors = True
         self.num_samples += mb_size
 
     def log_epoch_stats(self, cur_epoch: int):
@@ -286,10 +341,11 @@ class TrainMeter:
             "split": "train_epoch",
             "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
             "loss": self.loss_total / self.num_samples,
-            "top1_err": self.num_top1_mis / self.num_samples,
-            "top5_err": self.num_top5_mis / self.num_samples,
             "lr": self.lr,
         }
+        if getattr(self, "has_errors", False):
+            stats["top1_err"] = self.num_top1_mis / self.num_samples
+            stats["top5_err"] = self.num_top5_mis / self.num_samples
         log_json_stats(stats, logger)
 
     def log_iter_stats(self, cur_epoch: int, cur_iter: int):
@@ -319,11 +375,15 @@ class ValMeter:
         self.num_top5_mis = 0
         self.num_samples = 0
         self.min_top1_err = 100.0
+        self.all_preds = []
+        self.all_labels = []
 
     def reset(self):
         self.num_top1_mis = 0
         self.num_top5_mis = 0
         self.num_samples = 0
+        self.all_preds = []
+        self.all_labels = []
 
     iter_tic = TrainMeter.iter_tic
     iter_toc = TrainMeter.iter_toc
@@ -334,18 +394,31 @@ class ValMeter:
         self.num_top5_mis += top5_err * mb_size
         self.num_samples += mb_size
 
+    def update_predictions(self, preds, labels):
+        """Full prediction/label capture for the multi-label mAP epoch
+        metric (reference meters.py:802-811)."""
+        self.all_preds.append(np.asarray(preds))
+        self.all_labels.append(np.asarray(labels))
+
     def log_epoch_stats(self, cur_epoch: int):
-        if self.num_samples == 0:
-            return {}
-        top1 = self.num_top1_mis / self.num_samples
-        self.min_top1_err = min(self.min_top1_err, top1)
         stats = {
             "split": "val_epoch",
             "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
-            "top1_err": top1,
-            "top5_err": self.num_top5_mis / self.num_samples,
-            "min_top1_err": self.min_top1_err,
         }
+        if self.cfg.DATA.MULTI_LABEL:
+            if not self.all_preds:
+                return {}
+            stats["map"] = get_map(
+                np.concatenate(self.all_preds), np.concatenate(self.all_labels)
+            )
+        else:
+            if self.num_samples == 0:
+                return {}
+            top1 = self.num_top1_mis / self.num_samples
+            self.min_top1_err = min(self.min_top1_err, top1)
+            stats["top1_err"] = top1
+            stats["top5_err"] = self.num_top5_mis / self.num_samples
+            stats["min_top1_err"] = self.min_top1_err
         log_json_stats(stats, logger)
         return stats
 

@@ -8,6 +8,14 @@ from typing import Dict, Sequence, Tuple
 import numpy as np
 
 
+def softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    """Numerically-stabilised host-side softmax (shared by the demo
+    annotator and the analysis prob caching)."""
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
 def topks_correct(preds: np.ndarray, labels: np.ndarray, ks: Sequence[int]):
     """Number of top-k correct predictions for each k."""
     assert preds.shape[0] == labels.shape[0]

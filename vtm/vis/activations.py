@@ -95,6 +95,10 @@ def get_activations(bundle, frames, layers: Sequence[str], bboxes=None,
         capture_intermediates=keep, mutable=["intermediates"], **kwargs,
     )
     preds = out[0] if isinstance(out, tuple) else out
+    if isinstance(preds, tuple):
+        # EPIC twin-head logits: report the verb head, like the
+        # tools/visualization.py caller (logits[0])
+        preds = preds[0]
 
     acts = {}
 

@@ -166,8 +166,6 @@ class Predictor:
     """Run the model on a TaskInfo (reference predictor.py Predictor)."""
 
     def __init__(self, cfg, bundle=None):
-        import jax
-
         from vtm.checkpoints.checkpoint import load_test_checkpoint
         from vtm.models import build_model
 
@@ -176,8 +174,12 @@ class Predictor:
             bundle = build_model(cfg)
             bundle = load_test_checkpoint(cfg, bundle)
         self.bundle = bundle
-        self._fn = jax.jit(
-            lambda p, v: bundle.module.apply({"params": p}, v)[0]
+        # make_eval_step threads batch_stats for the BN conv families
+        # (a bare {'params'} apply crashes SlowFast/ResNet/X3D demos)
+        from vtm.train.train_step import make_eval_step
+
+        self._fn = make_eval_step(
+            bundle.module, batch_stats=bundle.batch_stats
         )
 
     def _preprocess(self, frames: List[np.ndarray]) -> np.ndarray:
@@ -216,7 +218,9 @@ def draw_predictions(task: TaskInfo, class_names: Optional[List[str]], k: int = 
     import cv2
 
     order = np.argsort(-task.preds)[:k]
-    probs = _softmax(task.preds)[order]
+    from vtm.eval.metrics import softmax
+
+    probs = softmax(task.preds)[order]
     lines = [
         f"{class_names[c] if class_names else c}: {p:.2f}"
         for c, p in zip(order, probs)
@@ -233,11 +237,6 @@ def draw_predictions(task: TaskInfo, class_names: Optional[List[str]], k: int = 
                 2,
             )
     return task
-
-
-def _softmax(x: np.ndarray) -> np.ndarray:
-    e = np.exp(x - x.max())
-    return e / e.sum()
 
 
 def load_class_names(path: str) -> Optional[List[str]]:

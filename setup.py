@@ -27,11 +27,18 @@ setup(
         "pyyaml",
         "yacs",
         "simplejson",
+        # core eval/data paths import these at run time: multi-label mAP
+        # (vtm/eval/meters.py get_map) and SSL Gaussian blur
+        # (vtm/data/transform.py gaussian_blur_video)
+        "scikit-learn",
+        "scipy",
     ],
     extras_require={
         # torch is only needed to import reference .pyth checkpoints
         "convert": ["torch"],
         "tensorboard": ["tensorboard", "matplotlib"],
+        # demo_net / video_visualizer colormaps
+        "demo": ["matplotlib"],
         "wandb": ["wandb"],
     },
     packages=find_packages(include=("vtm", "vtm.*")),

@@ -89,3 +89,53 @@ def test_bad_skip_rows_resets(tmp_path):
     _make_csv(tmp_path, n_rows=3)
     vids = _videos(_cfg(tmp_path, chunk=2, skip=50))
     assert len(vids) == 2  # chunk 0 after the reset
+
+
+def test_rotate_chunked_csv_helper(tmp_path):
+    """The shared per-epoch rotation helper (used by BOTH train() and
+    train_contrastive() — the reference's single loop rotates for the
+    SSL path too, tools/train_net.py:793-804): epoch 0 / chunking off
+    -> None; otherwise a fresh loader over the rotated slab, with
+    cfg.DATA.SKIP_ROWS advanced by the reference formula."""
+    from tools.train_net import rotate_chunked_csv
+
+    _make_csv(tmp_path, n_rows=7)
+    cfg = _cfg(tmp_path, chunk=2, skip=0)
+    cfg.DATA.LOADER_CHUNK_OVERALL_SIZE = 6
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.DATA_LOADER.NUM_WORKERS = 0
+
+    assert rotate_chunked_csv(cfg, 0) is None
+    cfg.DATA.LOADER_CHUNK_SIZE = 0
+    assert rotate_chunked_csv(cfg, 1) is None
+    cfg.DATA.LOADER_CHUNK_SIZE = 2
+
+    slabs = []
+    for epoch in (1, 2, 3, 4):
+        loader = rotate_chunked_csv(cfg, epoch)
+        assert loader is not None
+        expected_skip = (epoch % 3) * 2
+        assert cfg.DATA.SKIP_ROWS == expected_skip
+        slabs.append(
+            {v.split("/")[-1] for v in loader.dataset._path_to_videos}
+        )
+    # epochs 1,2,3 walk disjoint slabs; epoch 4 wraps to epoch-1's slab
+    assert slabs[0] & slabs[1] == set()
+    assert slabs[1] & slabs[2] == set()
+    assert slabs[3] == slabs[0]
+
+
+def test_rotate_overall_size_zero_is_single_chunk(tmp_path):
+    """LOADER_CHUNK_OVERALL_SIZE left at 0 (reference crashes with
+    ZeroDivisionError here) is treated as one chunk: skip stays 0."""
+    from tools.train_net import rotate_chunked_csv
+
+    _make_csv(tmp_path, n_rows=5)
+    cfg = _cfg(tmp_path, chunk=2, skip=0)
+    cfg.TRAIN.DATASET = "kinetics"
+    cfg.TRAIN.BATCH_SIZE = 2
+    cfg.DATA_LOADER.NUM_WORKERS = 0
+    loader = rotate_chunked_csv(cfg, 3)
+    assert loader is not None
+    assert cfg.DATA.SKIP_ROWS == 0

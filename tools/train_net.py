@@ -49,6 +49,31 @@ from vtm.vis.tensorboard_vis import TensorboardWriter  # noqa: E402
 logger = get_logger(__name__)
 
 
+def rotate_chunked_csv(cfg, cur_epoch):
+    """Per-epoch chunked-csv rotation (reference tools/train_net.py:793-804):
+    epochs walk disjoint ``LOADER_CHUNK_SIZE`` slabs of the overall csv.
+    Returns a freshly constructed train loader, or None when rotation is
+    off / at epoch 0. ``LOADER_CHUNK_OVERALL_SIZE`` left at 0 is treated as
+    a single chunk (the reference crashes with ZeroDivisionError there).
+    Like the reference, only the loader is rebuilt — meters and kNN label
+    banks keep their epoch-0 construction."""
+    if cur_epoch <= 0 or cfg.DATA.LOADER_CHUNK_SIZE <= 0:
+        return None
+    num_chunks = max(
+        math.ceil(
+            cfg.DATA.LOADER_CHUNK_OVERALL_SIZE / cfg.DATA.LOADER_CHUNK_SIZE
+        ),
+        1,
+    )
+    skip_rows = cur_epoch % num_chunks * cfg.DATA.LOADER_CHUNK_SIZE
+    logger.info(
+        "chunked csv: epoch %d num_chunks %d skip_rows %d",
+        cur_epoch, num_chunks, skip_rows,
+    )
+    cfg.DATA.SKIP_ROWS = skip_rows
+    return construct_loader(cfg, "train")
+
+
 def _epic_accuracies(logits, labels):
     """((v1,v5),(n1,n5),(a1,a5)) in % (reference train_net.py:223-247)."""
     verb = np.asarray(logits[0])
@@ -308,6 +333,12 @@ def train_contrastive(cfg):
     )
     meter = TrainMeter(data_size, cfg)
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+        rotated = rotate_chunked_csv(cfg, cur_epoch)
+        if rotated is not None:
+            # the reference's single train loop rotates chunks for the
+            # SSL path too; meter and kNN label bank keep epoch-0 state
+            train_loader = rotated
+            data_size = len(train_loader)
         shuffle_dataset(train_loader, cur_epoch)
         meter.iter_tic()
         for cur_iter, batch in enumerate(train_loader):
@@ -443,6 +474,18 @@ def train(cfg):
             start_epoch = 0
 
     mesh = make_mesh(model_parallel=cfg.TPU.MODEL_PARALLEL)
+    data_ways = mesh.shape["data"]
+    if cfg.TRAIN.BATCH_SIZE % data_ways != 0:
+        # the reference asserts TRAIN.BATCH_SIZE % NUM_GPUS == 0 at
+        # config time (defaults.py:1266-1270); our device count is only
+        # known here — fail with the config-level story instead of a
+        # deep device_put sharding error
+        raise ValueError(
+            f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must be divisible "
+            f"by the data-mesh size {data_ways} "
+            f"(devices={len(mesh.devices.flat)}, "
+            f"model_parallel={cfg.TPU.MODEL_PARALLEL})"
+        )
     if cfg.TPU.MODEL_PARALLEL > 1:
         from vtm.parallel.sharding import shard_params, tp_param_specs
 
@@ -519,27 +562,11 @@ def train(cfg):
     wandb_utils.init(cfg)
 
     for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
-        if cur_epoch > 0 and cfg.DATA.LOADER_CHUNK_SIZE > 0:
-            # rotate the csv chunk each epoch (reference
-            # tools/train_net.py:793-804): epochs walk disjoint
-            # LOADER_CHUNK_SIZE slabs of the overall csv
-            # guard OVERALL_SIZE left at 0 (the reference crashes with
-            # ZeroDivisionError at epoch 1 here; treat it as one chunk)
-            num_chunks = max(
-                math.ceil(
-                    cfg.DATA.LOADER_CHUNK_OVERALL_SIZE
-                    / cfg.DATA.LOADER_CHUNK_SIZE
-                ),
-                1,
-            )
-            skip_rows = cur_epoch % num_chunks * cfg.DATA.LOADER_CHUNK_SIZE
-            logger.info(
-                "chunked csv: epoch %d num_chunks %d skip_rows %d",
-                cur_epoch, num_chunks, skip_rows,
-            )
-            cfg.DATA.SKIP_ROWS = skip_rows
-            train_loader = construct_loader(cfg, "train")
-            train_meter = TrainMeter(len(train_loader), cfg)
+        rotated = rotate_chunked_csv(cfg, cur_epoch)
+        if rotated is not None:
+            # the typed meter (Train/EPICTrain/AVA) built above is kept,
+            # exactly as the reference does across chunk rotations
+            train_loader = rotated
         if multigrid is not None and cfg.MULTIGRID.LONG_CYCLE:
             cfg, changed = multigrid.update_long_cycle(cfg, cur_epoch)
             if changed:

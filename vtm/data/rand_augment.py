@@ -101,14 +101,14 @@ def create_random_augment(aa_type: str, seed: Optional[int] = None):
                 level = min(_MAX_LEVEL, max(0.0, random.gauss(magnitude, mstd)))
             name = random.choice(list(_ops(0, inc)))
             chosen.append((name, level))
+        from vtm.data.transform import to_uint8_truncate
+
         out = []
         for f in frames:
-            if f.dtype != np.uint8:
-                # [0,1] float frames (the reference AA path feeds
-                # .float()/255 clips through ToPILImage: mul(255),
-                # truncate — kinetics.py:413, _frame_to_list_img)
-                f = np.clip(f * 255.0, 0, 255).astype(np.uint8)
-            img = Image.fromarray(f)
+            # [0,1] float frames (the reference AA path feeds
+            # .float()/255 clips through ToPILImage: mul(255),
+            # truncate — kinetics.py:413, _frame_to_list_img)
+            img = Image.fromarray(to_uint8_truncate(f))
             for name, level in chosen:
                 img = _ops(level, inc)[name](img)
             out.append(np.asarray(img))

@@ -393,15 +393,23 @@ def augment_raw_frames(
     return frames, time_diff_out
 
 
-def _clip_to_pil(frames: np.ndarray):
-    """[T, H, W, C] -> one PIL RGB image of size [T*H, W] — exactly the
-    reference's view(c, t*h, w) + ToPILImage (floats are *255 then
-    TRUNCATED, torchvision ToPILImage semantics)."""
-    from PIL import Image
-
-    arr = np.asarray(frames)
+def to_uint8_truncate(arr: np.ndarray) -> np.ndarray:
+    """[0,1] float -> uint8 with torchvision ToPILImage semantics (mul
+    255 then TRUNCATE, no rounding). The single home for this
+    bit-sensitive parity quirk — the AA path (rand_augment) and the SSL
+    PIL pipeline below both feed float/255 clips through it."""
+    arr = np.asarray(arr)
     if arr.dtype != np.uint8:
         arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
+    return arr
+
+
+def _clip_to_pil(frames: np.ndarray):
+    """[T, H, W, C] -> one PIL RGB image of size [T*H, W] — exactly the
+    reference's view(c, t*h, w) + ToPILImage."""
+    from PIL import Image
+
+    arr = to_uint8_truncate(frames)
     t, h, w, c = arr.shape
     return Image.fromarray(arr.reshape(t * h, w, c)), (t, h)
 

@@ -94,7 +94,9 @@ def model_benchmark(cfg) -> dict:
     # same placement as test_net: TP cuts when TPU.MODEL_PARALLEL>1 —
     # benchmarking a replicated layout under a TP config would report
     # numbers for a different program than the config describes
-    mesh = make_mesh(model_parallel=cfg.TPU.MODEL_PARALLEL)
+    mesh = make_mesh(
+        model_parallel=cfg.TPU.MODEL_PARALLEL, batch_cap=cfg.TEST.BATCH_SIZE
+    )
     if cfg.TPU.MODEL_PARALLEL > 1:
         from vtm.parallel.sharding import shard_params
 

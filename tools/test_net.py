@@ -129,7 +129,9 @@ def test(cfg):
 
             log_model_info(bundle, cfg)
 
-        mesh = make_mesh(model_parallel=cfg.TPU.MODEL_PARALLEL)
+        mesh = make_mesh(
+            model_parallel=cfg.TPU.MODEL_PARALLEL, batch_cap=cfg.TEST.BATCH_SIZE
+        )
         if cfg.TPU.MODEL_PARALLEL > 1:
             from vtm.parallel.sharding import shard_params, tp_param_specs
 

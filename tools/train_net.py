@@ -86,6 +86,17 @@ def _epic_accuracies(logits, labels):
     return ((v1, v5), (n1, n5), (a1, a5))
 
 
+def _step_key(seed, cur_epoch, cur_iter):
+    """Per-step RNG key. Folds epoch and iter into the base key
+    independently instead of the old ``epoch * data_size + iter``
+    stride: chunked-csv rotation makes data_size vary when the last
+    chunk is smaller, so a length-based stride can map different
+    (epoch, iter) pairs to the same key and silently reuse
+    dropout/noise randomness across epochs."""
+    key = jax.random.key(seed)
+    return jax.random.fold_in(jax.random.fold_in(key, cur_epoch), cur_iter)
+
+
 def _labels_of(batch, multi_head):
     if multi_head:
         return {
@@ -120,9 +131,7 @@ def train_epoch(
             labels = _labels_of(batch, multi_head)
         meter.data_toc()
         if cfg.MASK.ENABLE:
-            step_rng = jax.random.key(
-                cfg.RNG_SEED + cur_epoch * data_size + cur_iter
-            )
+            step_rng = _step_key(cfg.RNG_SEED, cur_epoch, cur_iter)
             if cfg.MASK.MAE_ON:
                 # the MAE step computes pixel labels in-graph
                 params, opt_state, loss, _ = train_step(
@@ -180,7 +189,7 @@ def train_epoch(
             params, bn_stats, opt_state, loss, _ = train_step(
                 params, bn_stats, opt_state, frames, jnp.asarray(boxes),
                 jnp.asarray(det_labels), jnp.asarray(weights),
-                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
+                _step_key(cfg.RNG_SEED, cur_epoch, cur_iter),
             )
             loss = float(loss)
             if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
@@ -193,12 +202,12 @@ def train_epoch(
         if bn_stats is not None:
             params, bn_stats, opt_state, loss, logits, aux = train_step(
                 params, bn_stats, opt_state, frames, labels,
-                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
+                _step_key(cfg.RNG_SEED, cur_epoch, cur_iter),
             )
         else:
             params, opt_state, loss, logits, aux = train_step(
                 params, opt_state, frames, labels,
-                jax.random.key(cfg.RNG_SEED + cur_epoch * data_size + cur_iter),
+                _step_key(cfg.RNG_SEED, cur_epoch, cur_iter),
             )
         loss = float(loss)
         if cfg.TRAIN.KILL_LOSS_EXPLOSION_FACTOR and not np.isfinite(loss):
@@ -362,9 +371,7 @@ def train_contrastive(cfg):
             all_params, stats, state, opt_state, loss, _ = step(
                 all_params, stats, state, opt_state, clips, index,
                 epoch_exact,
-                jax.random.key(
-                    cfg.RNG_SEED + cur_epoch * data_size + cur_iter
-                ),
+                _step_key(cfg.RNG_SEED, cur_epoch, cur_iter),
                 update_param=update,
             )
             loss = float(loss)
@@ -473,19 +480,13 @@ def train(cfg):
         if cfg.TRAIN.CHECKPOINT_EPOCH_RESET:
             start_epoch = 0
 
-    mesh = make_mesh(model_parallel=cfg.TPU.MODEL_PARALLEL)
-    data_ways = mesh.shape["data"]
-    if cfg.TRAIN.BATCH_SIZE % data_ways != 0:
-        # the reference asserts TRAIN.BATCH_SIZE % NUM_GPUS == 0 at
-        # config time (defaults.py:1266-1270); our device count is only
-        # known here — fail with the config-level story instead of a
-        # deep device_put sharding error
-        raise ValueError(
-            f"TRAIN.BATCH_SIZE={cfg.TRAIN.BATCH_SIZE} must be divisible "
-            f"by the data-mesh size {data_ways} "
-            f"(devices={len(mesh.devices.flat)}, "
-            f"model_parallel={cfg.TPU.MODEL_PARALLEL})"
-        )
+    # batch_cap picks the largest data-parallel width that divides the
+    # batch (the reference-equivalent of choosing NUM_GPUS,
+    # defaults.py:1266-1270) so small-batch configs stay runnable on a
+    # wide mesh instead of hitting a deep device_put sharding error
+    mesh = make_mesh(
+        model_parallel=cfg.TPU.MODEL_PARALLEL, batch_cap=cfg.TRAIN.BATCH_SIZE
+    )
     if cfg.TPU.MODEL_PARALLEL > 1:
         from vtm.parallel.sharding import shard_params, tp_param_specs
 

@@ -53,11 +53,24 @@ def make_mesh(
     devices: Optional[Sequence] = None,
     axis_names: Sequence[str] = ("data",),
     model_parallel: int = 1,
+    batch_cap: Optional[int] = None,
 ) -> Mesh:
     """1-D data mesh, or a 2-D ('data', 'model') mesh when
     ``model_parallel`` > 1 (tensor parallelism over ICI — see
-    vtm/parallel/sharding.py for the parameter cuts)."""
+    vtm/parallel/sharding.py for the parameter cuts).
+
+    ``batch_cap`` caps the data axis at the largest divisor of the
+    per-step batch size that fits the visible devices — the
+    single-controller analog of the reference *choosing* NUM_GPUS so
+    that ``BATCH_SIZE % NUM_GPUS == 0`` holds (the reference asserts
+    this at config time, slowfast/config/defaults.py:1266-1270; we know
+    the device count only here). Unused devices are simply left out of
+    the mesh, exactly as unused GPUs would be."""
     devices = list(devices if devices is not None else jax.devices())
+    if batch_cap is not None:
+        avail = max(1, len(devices) // max(1, model_parallel))
+        ways = max(d for d in range(1, avail + 1) if batch_cap % d == 0)
+        devices = devices[: ways * max(1, model_parallel)]
     if model_parallel > 1:
         assert len(devices) % model_parallel == 0, (
             f"{len(devices)} devices not divisible by model_parallel={model_parallel}"

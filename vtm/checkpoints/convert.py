@@ -53,7 +53,15 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             if key in blob and isinstance(blob[key], dict):
                 blob = blob[key]
                 break
-    return {k: _np(v) for k, v in blob.items()}
+    # DDP-saved state dicts carry a leading 'module.' on every key; the
+    # reference strips it at load time for all checkpoints
+    # (checkpoint.py:295-311), BEFORE any model-specific conversion —
+    # some converters key off the first path component (e.g. HF
+    # 'videomae.*' detection), so this must happen here, not in them.
+    return {
+        k[len("module."):] if k.startswith("module.") else k: _np(v)
+        for k, v in blob.items()
+    }
 
 
 def strip_prefixes(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:

@@ -364,3 +364,128 @@ def _flatten(tree, path=()):
             yield from _flatten(v, path + (k,))
     else:
         yield path, tree
+
+
+# ------------------------------------------------------- EPIC dual head
+
+
+def _vivit_flax_to_reference_sd(params):
+    """Invert convert_vivit's naming: flax ViViT params -> the
+    reference EPIC wrapper state dict (vivit.* encoder + verb_classifier
+    / noun_classifier heads, vivit_video_model_builder.py:22-28)."""
+    sd = {}
+
+    def dense(prefix, p):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["kernel"]).T.copy())
+        if "bias" in p:
+            sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+
+    def layernorm(prefix, p):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["scale"]).copy())
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+
+    pe = params["patch_embed"]
+    sd["vivit.embeddings.patch_embeddings.projection.weight"] = torch.from_numpy(
+        np.transpose(np.asarray(pe["kernel"]), (4, 3, 0, 1, 2)).copy()
+    )
+    sd["vivit.embeddings.patch_embeddings.projection.bias"] = torch.from_numpy(
+        np.asarray(pe["bias"]).copy()
+    )
+    sd["vivit.embeddings.cls_token"] = torch.from_numpy(
+        np.asarray(params["cls_token"]).copy()
+    )
+    sd["vivit.embeddings.position_embeddings"] = torch.from_numpy(
+        np.asarray(params["position_embeddings"]).copy()
+    )
+    layernorm("vivit.layernorm", params["layernorm"])
+    i = 0
+    while f"layer_{i}" in params:
+        lyr = params[f"layer_{i}"]
+        pre = f"vivit.encoder.layer.{i}"
+        layernorm(f"{pre}.layernorm_before", lyr["layernorm_before"])
+        layernorm(f"{pre}.layernorm_after", lyr["layernorm_after"])
+        for nm in ("query", "key", "value"):
+            dense(f"{pre}.attention.attention.{nm}", lyr["attention"][nm])
+        dense(f"{pre}.attention.output.dense", lyr["attention_output"])
+        dense(f"{pre}.intermediate.dense", lyr["intermediate"])
+        dense(f"{pre}.output.dense", lyr["output"])
+        i += 1
+    for name in ("classifier", "verb_classifier", "noun_classifier"):
+        if name in params:
+            dense(name, params[name])
+    return sd
+
+
+def test_vivit_epic_dualhead_pyth(tmp_path):
+    """EPIC-Kitchens dual-head ViViT from a .pyth file: reference
+    wrapper naming (verb_classifier/noun_classifier heads) through the
+    driver's EPIC branch (tools/test_net.py EPICTestMeter ensembling),
+    compared against module-level apply + host-side sum-ensembling."""
+    import json as _json
+
+    import jax
+
+    from vtm.checkpoints.convert import convert_vivit
+    from vtm.data import construct_loader
+    from vtm.models import build_model
+
+    conf = {
+        "video_size": [4, 32, 32],
+        "tubelet_size": [2, 16, 16],
+        "num_channels": 3,
+        "hidden_size": 32,
+        "num_hidden_layers": 2,
+        "num_attention_heads": 2,
+        "intermediate_size": 64,
+        "hidden_act": "gelu_fast",
+        "hidden_dropout_prob": 0.0,
+        "attention_probs_dropout_prob": 0.0,
+        "initializer_range": 0.02,
+        "layer_norm_eps": 1e-6,
+        "qkv_bias": True,
+    }
+    p = tmp_path / "vivit.json"
+    p.write_text(_json.dumps(conf))
+    cfg = _base_cfg(
+        tmp_path,
+        [
+            "MODEL.MODEL_NAME", "ViViT",
+            "VIVIT.CONFIG_PATH", str(p),
+            "EPICKITCHENS.NUM_CLASSES", "[4, 6]",
+            "TEST.CHECKPOINT_FILE_PATH", str(tmp_path / "vivit_epic.pyth"),
+        ],
+    )
+    bundle = build_model(cfg, rng=jax.random.key(3))
+    sd = _vivit_flax_to_reference_sd(bundle.params)
+    assert "verb_classifier.weight" in sd and "noun_classifier.weight" in sd
+    torch.save({"model_state": sd}, tmp_path / "vivit_epic.pyth")
+
+    from tools.test_net import test as run_test
+
+    run_test(cfg)
+    with open(tmp_path / "preds.pkl", "rb") as f:
+        got = pickle.load(f)
+
+    converted = convert_vivit(sd, depth=2)
+    loader = construct_loader(cfg, "test")
+    num_clips = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    num_videos = len(loader.dataset) // num_clips
+    exp_verb = np.zeros((num_videos, 4), np.float64)
+    exp_noun = np.zeros((num_videos, 6), np.float64)
+    for batch in loader:
+        (verb, noun), _ = bundle.module.apply(
+            {"params": converted},
+            jnp.asarray(np.asarray(batch["frames"], np.float32)),
+        )
+        for j, idx in enumerate(np.asarray(batch["index"])):
+            vid = int(idx) // num_clips
+            exp_verb[vid] += np.asarray(verb)[j]
+            exp_noun[vid] += np.asarray(noun)[j]
+    np.testing.assert_array_equal(
+        np.argmax(got["verb"], 1), np.argmax(exp_verb, 1)
+    )
+    np.testing.assert_array_equal(
+        np.argmax(got["noun"], 1), np.argmax(exp_noun, 1)
+    )
+    np.testing.assert_allclose(got["verb"], exp_verb, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got["noun"], exp_noun, rtol=1e-4, atol=1e-4)

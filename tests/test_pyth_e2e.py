@@ -16,6 +16,7 @@ file → converter → driver → meter chain at the released formats.
 
 from __future__ import annotations
 
+import pathlib
 import pickle
 
 import numpy as np
@@ -489,3 +490,119 @@ def test_vivit_epic_dualhead_pyth(tmp_path):
     )
     np.testing.assert_allclose(got["verb"], exp_verb, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(got["noun"], exp_noun, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------------ MViT
+
+
+def test_mvit_pyth_model_state(tmp_path):
+    """Legacy-family file e2e: the REFERENCE torch MViT's state dict
+    saved as the reference's own {'model_state': sd} .pyth, driven
+    through tools/test_net.py, against the torch model's forward on the
+    same loader clips (reference video_model_builder.py:809-1267)."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_convnet import _install_native_stubs
+    from test_mvit import _mvit_cfg
+    from tests.conftest import load_reference_module
+
+    _install_native_stubs()
+    ref_builder = load_reference_module(
+        "slowfast/models/video_model_builder.py", "ref_video_model_builder"
+    )
+
+    cfg = _mvit_cfg()
+    cfg.merge_from_list(
+        [
+            "TEST.DATASET", "synthetic",
+            "TEST.BATCH_SIZE", "4",
+            "TEST.NUM_ENSEMBLE_VIEWS", "2",
+            "TEST.NUM_SPATIAL_CROPS", "1",
+            "DATA_LOADER.NUM_WORKERS", "0",
+            "TEST.SAVE_RESULTS_PATH", str(tmp_path / "preds.pkl"),
+            "TEST.CHECKPOINT_FILE_PATH", str(tmp_path / "mvit.pyth"),
+            "OUTPUT_DIR", str(tmp_path),
+        ]
+    )
+    from vtm.config import assert_and_infer_cfg
+
+    cfg = assert_and_infer_cfg(cfg)
+
+    torch.manual_seed(0)
+    ref = ref_builder.MViT(cfg).eval()
+    torch.save({"model_state": ref.state_dict(), "epoch": 30},
+               tmp_path / "mvit.pyth")
+
+    got, got_labels = _run_driver(cfg, tmp_path)
+
+    def forward(frames):
+        with torch.no_grad():
+            x = torch.from_numpy(frames).permute(0, 4, 1, 2, 3)  # B,C,T,H,W
+            return ref([x]).numpy()
+
+    exp, exp_labels = _expected_from_torch(cfg, forward)
+    _check(got, exp, got_labels, exp_labels, tol=1e-3)
+
+
+# -------------------------------------------------------- SlowFast (BN)
+
+
+def test_slowfast_pyth_model_state(tmp_path):
+    """Conv-family file e2e: the REFERENCE torch SlowFast's state dict
+    (BN running stats included) as a {'model_state': sd} .pyth through
+    the driver — exercises convert_pyslowfast's params/batch_stats
+    split at the file level — vs the torch model's eval forward."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_convnet import _install_native_stubs, tiny_cfg
+    from tests.conftest import load_reference_module
+
+    _install_native_stubs()
+    ref_builder = load_reference_module(
+        "slowfast/models/video_model_builder.py", "ref_video_model_builder"
+    )
+
+    cfg = tiny_cfg("SlowFast", "slowfast")
+    cfg.merge_from_list(
+        [
+            "TEST.DATASET", "synthetic",
+            "TEST.BATCH_SIZE", "4",
+            "TEST.NUM_ENSEMBLE_VIEWS", "2",
+            "TEST.NUM_SPATIAL_CROPS", "1",
+            "TPU.COMPUTE_DTYPE", "float32",
+            "DATA_LOADER.NUM_WORKERS", "0",
+            "TEST.SAVE_RESULTS_PATH", str(tmp_path / "preds.pkl"),
+            "TEST.CHECKPOINT_FILE_PATH", str(tmp_path / "slowfast.pyth"),
+            "OUTPUT_DIR", str(tmp_path),
+        ]
+    )
+    cfg = assert_and_infer_cfg(cfg)
+
+    torch.manual_seed(0)
+    ref = ref_builder.SlowFast(cfg).eval()
+    # make the BN running stats non-trivial so the file path is proven
+    # to carry them (fresh init is all mean-0/var-1)
+    with torch.no_grad():
+        for m in ref.modules():
+            if hasattr(m, "running_mean") and m.running_mean is not None:
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    torch.save({"model_state": ref.state_dict(), "epoch": 196},
+               tmp_path / "slowfast.pyth")
+
+    got, got_labels = _run_driver(cfg, tmp_path)
+
+    alpha = cfg.SLOWFAST.ALPHA
+
+    def forward(frames):
+        with torch.no_grad():
+            fast = torch.from_numpy(frames).permute(0, 4, 1, 2, 3)
+            t = fast.shape[2]
+            idx = torch.linspace(0, t - 1, t // alpha).long()
+            slow = torch.index_select(fast, 2, idx)
+            return ref([slow, fast]).numpy()
+
+    exp, exp_labels = _expected_from_torch(cfg, forward)
+    _check(got, exp, got_labels, exp_labels, tol=1e-3)

@@ -545,6 +545,87 @@ def test_mvit_pyth_model_state(tmp_path):
     _check(got, exp, got_labels, exp_labels, tol=1e-3)
 
 
+def test_mvit_pyth_finetune_head_clear(tmp_path):
+    """The pretrain->finetune handoff at the file level: a reference
+    torch MViT trunk saved as .pyth, loaded into tools/train_net.py via
+    TRAIN.CHECKPOINT_FILE_PATH with CHECKPOINT_CLEAR_NAME_PATTERN
+    dropping the head (reference checkpoint.py:326-339) — after one
+    zero-LR epoch the saved checkpoint's trunk must equal the file's
+    weights bit-for-bit while the head kept its fresh init."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    from test_convnet import _install_native_stubs
+    from test_mvit import _mvit_cfg
+    from tests.conftest import load_reference_module
+
+    import jax
+
+    from vtm.checkpoints import checkpoint as cu
+    from vtm.checkpoints.convert import convert_mvit
+    from vtm.models import build_model
+
+    _install_native_stubs()
+    ref_builder = load_reference_module(
+        "slowfast/models/video_model_builder.py", "ref_video_model_builder"
+    )
+
+    cfg = _mvit_cfg()
+    cfg.merge_from_list(
+        [
+            "TRAIN.ENABLE", "True",
+            "TRAIN.DATASET", "synthetic",
+            "TRAIN.BATCH_SIZE", "4",
+            "TRAIN.EVAL_PERIOD", "10",
+            "TRAIN.CHECKPOINT_PERIOD", "1",
+            "TRAIN.AUTO_RESUME", "False",
+            "TRAIN.CHECKPOINT_FILE_PATH", str(tmp_path / "trunk.pyth"),
+            "TRAIN.CHECKPOINT_CLEAR_NAME_PATTERN", "['head.']",
+            "TEST.DATASET", "synthetic",
+            "TEST.BATCH_SIZE", "4",
+            "SOLVER.MAX_EPOCH", "1",
+            # effectively zero LR (fp32 params don't move a single ulp)
+            # without tripping the cosine policy's END_LR < BASE_LR
+            # assert, so the trunk must come out of training bit-equal
+            "SOLVER.BASE_LR", "1e-30",
+            "SOLVER.WEIGHT_DECAY", "0.0",
+            "SOLVER.WARMUP_EPOCHS", "0.0",
+            "SOLVER.OPTIMIZING_METHOD", "sgd",
+            "MODEL.DROPOUT_RATE", "0.0",
+            "MVIT.DROPPATH_RATE", "0.0",
+            "DATA_LOADER.NUM_WORKERS", "0",
+            "OUTPUT_DIR", str(tmp_path),
+        ]
+    )
+    cfg = assert_and_infer_cfg(cfg)
+
+    torch.manual_seed(0)
+    ref = ref_builder.MViT(cfg).eval()
+    torch.save({"model_state": ref.state_dict()}, tmp_path / "trunk.pyth")
+
+    from tools.train_net import train as run_train
+
+    run_train(cfg)
+
+    last = cu.get_last_checkpoint(str(tmp_path))
+    assert last is not None
+    bundle = build_model(cfg, rng=jax.random.key(0))
+    trained, _, _, _ = cu.load_checkpoint(last, bundle.params)
+    want = convert_mvit(ref.state_dict(), depth=cfg.MVIT.DEPTH)
+    flat_want = dict(_flatten(want))
+    flat_got = dict(_flatten(trained))
+    head_keys = [p for p in flat_got if p[0] == "head"]
+    assert head_keys, "MViT head missing from the train state"
+    for path, v in flat_want.items():
+        got_v = np.asarray(flat_got[path])
+        if path == ("head", "kernel"):
+            # cleared by the name pattern: fresh init, NOT the file's
+            # (bias is a 0.02 constant in both inits — uninformative)
+            assert not np.allclose(got_v, np.asarray(v)), path
+        elif path[0] != "head":
+            np.testing.assert_array_equal(got_v, np.asarray(v), err_msg=str(path))
+
+
 # -------------------------------------------------------- SlowFast (BN)
 
 

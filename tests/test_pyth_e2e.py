@@ -100,6 +100,19 @@ def _check(got, exp, got_labels, exp_labels, tol=1e-3):
     np.testing.assert_allclose(got, exp, rtol=tol, atol=tol)
 
 
+def _inv_dense(sd, prefix, p):
+    """flax dense {kernel,bias} -> torch '{prefix}.weight/.bias'."""
+    sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["kernel"]).T.copy())
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+
+
+def _inv_layernorm(sd, prefix, p):
+    """flax layernorm {scale,bias} -> torch '{prefix}.weight/.bias'."""
+    sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["scale"]).copy())
+    sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+
+
 # --------------------------------------------------------------- VideoMAE
 
 
@@ -267,13 +280,10 @@ def _flax_to_reference_sd(params):
     sd = {}
 
     def dense(prefix, p):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["kernel"]).T.copy())
-        if "bias" in p:
-            sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+        _inv_dense(sd, prefix, p)
 
     def layernorm(prefix, p):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["scale"]).copy())
-        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+        _inv_layernorm(sd, prefix, p)
 
     sd["cls_token"] = torch.from_numpy(np.asarray(params["cls_token"]).copy())
     sd["pos_embed"] = torch.from_numpy(np.asarray(params["pos_embed"]).copy())
@@ -377,13 +387,10 @@ def _vivit_flax_to_reference_sd(params):
     sd = {}
 
     def dense(prefix, p):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["kernel"]).T.copy())
-        if "bias" in p:
-            sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+        _inv_dense(sd, prefix, p)
 
     def layernorm(prefix, p):
-        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["scale"]).copy())
-        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["bias"]).copy())
+        _inv_layernorm(sd, prefix, p)
 
     pe = params["patch_embed"]
     sd["vivit.embeddings.patch_embeddings.projection.weight"] = torch.from_numpy(

@@ -35,11 +35,26 @@ import sys
 
 import numpy as np
 
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 REPO = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+if jax.default_backend() != "cpu":
+    # the axon sitecustomize (PYTHONPATH=/root/.axon_site) pins the TPU
+    # backend regardless of JAX_PLATFORMS; this analysis is numerical,
+    # must not touch the session TPU (one JAX process at a time —
+    # CLAUDE.md), and needs a scrubbed env to run on CPU
+    sys.exit(
+        "profile_matcher_ulp: refusing to run on the TPU backend — "
+        "invoke with a scrubbed env: PYTHONPATH=/root/repo "
+        "JAX_PLATFORMS=cpu python tools/profile_matcher_ulp.py"
+    )
 
 from vtm.merge.policy import MergePolicy  # noqa: E402
 from vtm.models.videomae import VideoMAE, VideoMAEConfig  # noqa: E402

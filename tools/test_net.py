@@ -190,9 +190,11 @@ def test(cfg):
                 multi_label=cfg.DATA.MULTI_LABEL,
             )
         # every device batch must be equal: pad to a fixed size that is
-        # a multiple of the mesh (keeps one compiled shape per run)
-        n_dev = mesh.devices.size
-        padded_bs = -(-cfg.TEST.BATCH_SIZE // n_dev) * n_dev
+        # a multiple of the DATA axis (only it shards the batch —
+        # padding to the whole device count would double the work under
+        # tensor parallelism with small batches)
+        data_ways = mesh.shape["data"]
+        padded_bs = -(-cfg.TEST.BATCH_SIZE // data_ways) * data_ways
         stats = perform_test(loader, eval_step, params, meter, cfg, padded_bs)
         results.append((num_view, stats))
         wandb_utils.log({"num_views": num_view, **{k: v for k, v in stats.items()}})

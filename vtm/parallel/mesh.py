@@ -70,7 +70,28 @@ def make_mesh(
     if batch_cap is not None:
         avail = max(1, len(devices) // max(1, model_parallel))
         ways = max(d for d in range(1, avail + 1) if batch_cap % d == 0)
-        devices = devices[: ways * max(1, model_parallel)]
+        used = ways * max(1, model_parallel)
+        if used < len(devices):
+            if jax.process_count() > 1:
+                # truncating the global device list would strip some
+                # hosts' addressable devices from the mesh and fail deep
+                # inside device_put/collectives — surface the config
+                # error instead (the reference asserts this up front)
+                raise ValueError(
+                    f"batch size {batch_cap} is not divisible by the "
+                    f"{len(devices) // max(1, model_parallel)}-way data "
+                    "axis and multi-host meshes cannot drop devices; "
+                    "choose a divisible batch size"
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "batch size %d caps the data axis at %d of %d available "
+                "device(s) — %d device(s) left idle (pick a batch "
+                "divisible by the device count to use them all)",
+                batch_cap, ways, avail, len(devices) - used,
+            )
+        devices = devices[:used]
     if model_parallel > 1:
         assert len(devices) % model_parallel == 0, (
             f"{len(devices)} devices not divisible by model_parallel={model_parallel}"

@@ -185,3 +185,30 @@ def test_init_distributed_topology():
         "num_processes": 4,
         "process_id": 2,
     }
+
+
+def test_batch_cap_picks_largest_divisor(caplog):
+    """make_mesh(batch_cap=) is the reference-equivalent of choosing
+    NUM_GPUS (defaults.py:1266-1270): the data axis becomes the largest
+    divisor of the batch that fits, spare devices stay out of the mesh,
+    and the cap is logged when devices are left idle."""
+    import logging
+
+    import jax
+
+    from vtm.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    assert n == 8, "test expects the 8-device CPU mesh"
+    assert make_mesh(batch_cap=2).shape["data"] == 2
+    assert make_mesh(batch_cap=4).shape["data"] == 4
+    assert make_mesh(batch_cap=8).shape["data"] == 8
+    assert make_mesh(batch_cap=12).shape["data"] == 6
+    assert make_mesh(batch_cap=3).shape["data"] == 3
+    with caplog.at_level(logging.WARNING, logger="vtm.parallel.mesh"):
+        mesh = make_mesh(batch_cap=13)  # prime > devices: 1-way
+    assert mesh.shape["data"] == 1
+    assert any("left idle" in r.message for r in caplog.records)
+    # composes with tensor parallelism: cap applies to the data axis
+    m = make_mesh(batch_cap=2, model_parallel=2)
+    assert m.shape == {"data": 2, "model": 2}
